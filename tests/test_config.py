@@ -1,0 +1,62 @@
+"""Config loader tests: reference-schema translation of the published configs."""
+
+import glob
+
+from handwriting_line_generation_tpu.config import Config, config_from_dict, load_config
+
+GAN_CFG = ("/root/reference/configs/cf_IAMslant_noMask_charSpecSingleAppend_"
+           "GANMedMT_autoAEMoPrcp2tightNewCTCUseGen_balB_hCF0.75_sMG.json")
+
+
+def test_translate_gan_config():
+    cfg = load_config(GAN_CFG)
+    m = cfg.model
+    assert m.num_class == 80
+    assert m.hwr.kind == "cnn_only" and m.hwr.norm == "batch"
+    assert m.style.kind == "char" and m.style.style_dim == 128
+    assert m.style.char_style_dim == 0      # single-style paper path
+    assert m.style.window == 2 and m.style.global_pool
+    assert m.generator.kind == "pure" and m.generator.append_style
+    assert m.generator.dim == 256
+    assert m.discriminator.use_low and m.discriminator.use_med
+    assert m.spacer.enabled and m.spacer.count_duplicates
+    assert m.hwr_frozen
+    assert cfg.optimizer.lr == 2e-4 and cfg.optimizer.betas == (0.5, 0.999)
+    assert cfg.trainer.kind == "gan"
+    assert cfg.trainer.iterations == 175_000
+    assert cfg.trainer.balance_loss == "sign_preserve_var"
+    assert cfg.trainer.balance_var_x == {"0": [0.6, 0.5, 0.4, 0.75]}
+    assert len(cfg.trainer.curriculum["0"]) == 7
+    assert cfg.trainer.loss_weights["genRecog"] == 0.0001
+    assert cfg.data.batch_size == 2 and cfg.data.a_batch_size == 2
+
+
+def test_translate_hwr_config():
+    cfg = load_config("/root/reference/configs/cf_IAM_hwr_cnnOnly_batchnorm_aug.json")
+    assert cfg.trainer.kind == "hwr"
+    assert cfg.model.hwr.kind == "cnn_only"
+    assert cfg.model.generator.kind == "none"
+    assert cfg.model.style.kind == "none"
+    assert cfg.data.batch_size == 16
+
+
+def test_translate_auto_config():
+    cfg = load_config("/root/reference/configs/cf_IAM_auto_2tight_newCTC.json")
+    assert cfg.trainer.kind == "auto"
+    assert cfg.autoencoder is not None
+    assert cfg.autoencoder.kind == "2tight"
+    assert cfg.autoencoder.hwr_classes == 80
+
+
+def test_all_reference_configs_translate():
+    for path in glob.glob("/root/reference/configs/*.json"):
+        cfg = load_config(path)
+        assert isinstance(cfg, Config)
+
+
+def test_roundtrip_own_schema():
+    cfg = load_config(GAN_CFG)
+    cfg2 = config_from_dict(cfg.to_dict())
+    assert cfg2.model.style.style_dim == cfg.model.style.style_dim
+    assert cfg2.trainer.balance_var_x == cfg.trainer.balance_var_x
+    assert cfg2.optimizer.betas == cfg.optimizer.betas

@@ -1,0 +1,77 @@
+"""Foundation tests: charset round-trip, CTC greedy decode, CER/WER goldens."""
+
+import numpy as np
+import pytest
+
+from handwriting_line_generation_tpu.charset import (
+    IAM_CHARSET, RIMES_CHARSET, Charset, ctc_greedy_decode,
+)
+from handwriting_line_generation_tpu.utils.error_rates import cer, levenshtein, wer
+
+
+def test_charset_sizes():
+    # num_class 80 / 78 as in the reference configs
+    # (configs/cf_IAMslant_...sMG.json "num_class": 80).
+    assert IAM_CHARSET.num_class == 80
+    assert RIMES_CHARSET.num_class == 78
+
+
+def test_charset_roundtrip():
+    text = 'The "quick" brown fox; jumps 42 #7!'
+    label = IAM_CHARSET.encode(text)
+    assert IAM_CHARSET.decode(label) == text
+
+
+def test_charset_drops_unknown():
+    # str2label_single drops chars outside the set (string_utils.py:9-11).
+    assert IAM_CHARSET.decode(IAM_CHARSET.encode("a~b")) == "ab"
+
+
+def test_charset_json_roundtrip(tmp_path):
+    path = str(tmp_path / "cs.json")
+    IAM_CHARSET.save(path)
+    loaded = Charset.load(path)
+    assert loaded.chars == IAM_CHARSET.chars
+
+
+def test_ctc_greedy_decode():
+    # raw argmax path: a a blank a b b -> "a a b" collapsed to [a, a, b]
+    num_class = 4
+    seq = [1, 1, 0, 1, 2, 2]
+    logits = np.full((len(seq), num_class), -5.0)
+    for t, c in enumerate(seq):
+        logits[t, c] = 5.0
+    assert ctc_greedy_decode(logits) == [1, 1, 2]
+
+
+def test_levenshtein_matches_bruteforce():
+    rs = np.random.default_rng(1)
+    for _ in range(50):
+        a = "".join(rs.choice(list("abcd"), size=rs.integers(0, 12)))
+        b = "".join(rs.choice(list("abcd"), size=rs.integers(0, 12)))
+        assert levenshtein(a, b) == _slow_lev(a, b), (a, b)
+
+
+def _slow_lev(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        dp[i][0] = i
+    for j in range(len(b) + 1):
+        dp[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                           dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    return dp[-1][-1]
+
+
+def test_cer_whitespace_normalized():
+    # double/trailing whitespace removed before comparing (error_rates.py:7-8)
+    assert cer("a  b ", "a b") == 0.0
+    assert cer("abc", "abd") == pytest.approx(1 / 3)
+    assert cer("ABC", "abc", casesensitive=False) == 0.0
+
+
+def test_wer():
+    assert wer("the quick fox", "the slow fox") == pytest.approx(1 / 3)
+    assert wer("", "word") == 1.0
