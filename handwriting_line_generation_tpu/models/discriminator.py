@@ -1,0 +1,79 @@
+"""Multi-scale spectral-norm patch discriminator.
+
+Re-design of ``model/discriminator_ap.py:68-161``: a shared trunk (GroupNorm
+in-conv then spectral-norm convs with avg-pools) feeding a medium-resolution
+patch head (``finalMed``) and a low/global head (``convs4``, 1-D convs on the
+height-collapsed map).  Heights use VALID padding so a 64-px input collapses
+to exactly 1 at the heads (58 -> 26 -> 12 -> 3 -> 1); widths are SAME-padded
+and shrink only via the pools, keeping width bookkeeping trivial.
+
+Returns a list of per-scale patch score maps flattened to ``[B, N_i]`` —
+the trainer averages hinge losses over scales
+(``hw_with_style_trainer.py:797-806``).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from handwriting_line_generation_tpu.models.layers import SNConv, avg_pool, gn
+
+
+class DiscriminatorAP(nn.Module):
+    dim: int = 64
+    use_low: bool = True
+    use_med: bool = True
+    small: bool = False
+    leak: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 return_features: bool = False):
+        d = self.dim
+        lrelu = lambda v: nn.leaky_relu(v, self.leak)
+        drop = lambda v, p: nn.Dropout(p, broadcast_dims=(1, 2),
+                                       deterministic=deterministic)(v)
+
+        # in_conv: 7x7 VALID-height conv, group-norm (no SN on first layer)
+        x = nn.Conv(d, (7, 7), padding=((0, 0), (3, 3)))(x)   # H 64 -> 58
+        x = lrelu(gn(d)(x))
+
+        pv = (1, 1, 1, 1) if self.small else (0, 0, 1, 1)     # t,b,l,r
+        m = SNConv(d, (3, 3), padding=pv)(x)                  # 58 -> 56
+        m = lrelu(m)
+        if not self.small:
+            m = avg_pool(m, (2, 2))                           # -> 28
+        m = SNConv(2 * d, (3, 3), padding=pv)(m)              # -> 26
+        m = lrelu(drop(m, 0.05))
+
+        mL = SNConv(2 * d, (3, 3), padding=(0, 0, 1, 1))(m)   # -> 24
+        mL = avg_pool(lrelu(mL), (2, 2))                      # -> 12
+        mL = nn.Conv(2 * d, (3, 3), padding=((0, 0), (1, 1)))(mL)  # -> 10
+        mL = avg_pool(lrelu(gn(2 * d)(mL)), (2, 2))           # -> 5
+        mL = SNConv(4 * d, (3, 3), padding=(0, 0, 1, 1))(mL)  # -> 3
+        mL = lrelu(drop(mL, 0.05))
+
+        out: List[jnp.ndarray] = []
+        pM = pL = None
+        if self.use_med:
+            pM = SNConv(1, (3, 3), padding=(0, 0, 1, 1))(mL)  # H -> 1
+            out.append(pM.reshape(pM.shape[0], -1))
+        if self.use_low:
+            y = SNConv(2 * d, (3, 3), padding=(0, 0, 1, 1))(mL)  # H -> 1
+            y = lrelu(drop(y, 0.025))
+            y = avg_pool(y, (1, 2))
+            y = SNConv(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
+            y = lrelu(drop(y, 0.025))
+            y = SNConv(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
+            y = lrelu(drop(y, 0.025))
+            y = avg_pool(y, (1, 2))
+            y = SNConv(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
+            y = lrelu(drop(y, 0.025))
+            pL = SNConv(1, (1, 1))(y)
+            out.append(pL.reshape(pL.shape[0], -1))
+        if return_features:
+            return mL, pL
+        return out

@@ -1,0 +1,115 @@
+"""Spaced-text conditioned StyleGAN-style generator.
+
+Re-design of ``model/pure_gen.py:12-50`` (rosinality StyleGAN lineage): the
+content is the spaced one-hot text laid on a ``[B, 1, T, C]`` canvas; five
+styled conv blocks grow it to ``[B, 64, 4T, 1]`` — two vertical-only x2
+upsamples then two full x2 upsamples (``pure_gen.py:21-27``), each block
+being conv -> noise injection -> leaky-relu -> AdaIN twice
+(``pure_gen.py:202-216``).  The style vector is first passed through a
+6-layer PixelNorm MLP (``style_emb``, ``pure_gen.py:31-39``) and optionally
+appended to the content channels (``gen_append_style``, the paper config).
+
+Noise is injected via the ``noise`` PRNG stream; pass
+``rngs={'noise': key}`` at apply time.  Output height is 64 and width is
+exactly ``4 * T``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from handwriting_line_generation_tpu.models.layers import (
+    AdaIN, EqualConv, FusedUpsample, NoiseInjection, PixelNorm, blur3x3,
+    upsample_nearest,
+)
+
+
+class StyledConvBlock(nn.Module):
+    """conv1 -> noise -> lrelu -> AdaIN -> conv2 -> noise -> lrelu -> AdaIN."""
+    features: int
+    initial: bool = False
+    upsample: bool = False
+    only_vertical: bool = False
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, style):
+        if self.initial:
+            # ConvT (4,3), torch padding (0,1): H 1->4, W preserved
+            # (pure_gen.py:161-163).  lax.conv_transpose pads the dilated
+            # input, so the torch-equivalent padding is k-1-p per side.
+            x = nn.ConvTranspose(self.features, (4, 3),
+                                 padding=((3, 3), (1, 1)))(x)
+        elif self.upsample:
+            if self.fused:
+                x = FusedUpsample(self.features,
+                                  only_vertical=self.only_vertical)(x)
+            else:
+                scale = (2, 1) if self.only_vertical else (2, 2)
+                x = upsample_nearest(x, scale)
+                x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+            x = blur3x3(x)
+        else:
+            x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+
+        x = NoiseInjection()(x, self.make_rng("noise"))
+        x = nn.leaky_relu(x, 0.2)
+        x = AdaIN(self.features)(x, style)
+
+        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = NoiseInjection()(x, self.make_rng("noise"))
+        x = nn.leaky_relu(x, 0.2)
+        x = AdaIN(self.features)(x, style)
+        return x
+
+
+class StyleMLP(nn.Module):
+    """PixelNorm + n x (Dense + LeakyReLU) style mapping (pure_gen.py:31-39)."""
+    style_dim: int
+    n_layers: int = 6
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, style, deterministic: bool = True):
+        h = PixelNorm()(style)
+        for i in range(self.n_layers):
+            h = nn.Dense(self.style_dim)(h)
+            if self.dropout > 0 and i < self.n_layers - 1:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.leaky_relu(h, 0.2)
+        return h
+
+
+class SpacedGenerator(nn.Module):
+    """Spaced one-hot ``[B, T, C]`` + style ``[B, S]`` -> image ``[B, 64, 4T, 1]``."""
+    num_class: int
+    style_dim: int
+    dim: int = 256
+    n_style_trans: int = 6
+    append_style: bool = True
+    emb_dropout: float = 0.0
+    small: bool = False
+
+    @nn.compact
+    def __call__(self, spaced_onehot, style, deterministic: bool = True):
+        style = StyleMLP(self.style_dim, self.n_style_trans,
+                         self.emb_dropout)(style, deterministic)
+        x = spaced_onehot[:, None, :, :]                     # [B, 1, T, C]
+        if self.append_style:
+            s = jnp.broadcast_to(style[:, None, None, :],
+                                 x.shape[:3] + (self.style_dim,))
+            x = jnp.concatenate([x, s], axis=-1)
+
+        d = self.dim
+        x = StyledConvBlock(d, initial=True)(x, style)                    # H4
+        x = StyledConvBlock(d // 2, upsample=True, only_vertical=True)(x, style)   # H8
+        x = StyledConvBlock(d // 4, upsample=True, only_vertical=True)(x, style)   # H16
+        x = StyledConvBlock(d // 8, upsample=True, fused=True)(x, style)  # H32 W2T
+        x = StyledConvBlock(d // 16, upsample=not self.small,
+                            fused=True)(x, style)                         # H64 W4T
+        x = EqualConv(1, kernel=(1, 1))(x)
+        return jnp.tanh(x)

@@ -1,0 +1,202 @@
+"""Composite handwriting-generation model.
+
+Re-design of ``model/hw_with_style.py:81-361`` (``HWWithStyle``): holds the
+style extractor, recognizer (HWR), generator, discriminator and spacer, and
+wires the three core flows:
+
+* ``generate``      — labels + style -> spacer counts -> spaced one-hot ->
+                      generator image (``hw_with_style.py:232-268``);
+* ``extract_style`` — recognizer log-probs + width-concatenated same-author
+                      images -> style vector(s) (``hw_with_style.py:281-300``);
+* ``autoencode``    — extract style, align the prediction to the label
+                      (forced alignment replacing the host DTW,
+                      ``hw_with_style.py:270-279``), regenerate.
+
+Differences from the reference by design: no mutable result caching on the
+model (``self.pred`` etc., ``hw_with_style.py:222-229``) — every method
+returns an explicit ``(output, aux)``; all flows are batch-major NHWC with
+static shapes (spaced length is a static argument, not data-dependent).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from handwriting_line_generation_tpu.config import ModelConfig
+from handwriting_line_generation_tpu.models.char_style import CharStyleEncoder
+from handwriting_line_generation_tpu.models.count_cnn import CountCNN
+from handwriting_line_generation_tpu.models.discriminator import DiscriminatorAP
+from handwriting_line_generation_tpu.models.generator import SpacedGenerator
+from handwriting_line_generation_tpu.models.hwr import build_hwr
+from handwriting_line_generation_tpu.ops.align import viterbi_align
+from handwriting_line_generation_tpu.ops.spacing import insert_spaces, onehot
+
+
+def collapse_author_batch(image: jnp.ndarray, seq: jnp.ndarray,
+                          a_batch_size: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Width-concatenate each author's ``a_batch_size`` lines.
+
+    ``image [B, H, W, C]`` -> ``[B/a, H, a*W, C]``; ``seq [B, T, C]`` ->
+    ``[B/a, a*T, C]`` (``hw_with_style.py:296-297``).
+    """
+    B, H, W, C = image.shape
+    a = a_batch_size
+    img = image.reshape(B // a, a, H, W, C)
+    img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(B // a, H, a * W, C)
+    T, Cs = seq.shape[1:]
+    sq = seq.reshape(B // a, a * T, Cs)
+    return img, sq
+
+
+class HWWithStyle(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.hwr = build_hwr(c.hwr.kind, c.num_class, c.hwr.norm, c.hwr.small)
+        if c.style.kind == "char":
+            self.style_extractor = CharStyleEncoder(
+                num_class=c.num_class,
+                style_dim=c.style.style_dim,
+                char_style_dim=c.style.char_style_dim,
+                dim=c.style.dim,
+                char_dim=c.style.char_dim,
+                window=c.style.window,
+                capacity=c.style.char_capacity,
+                norm=c.style.norm,
+                act=c.style.activ,
+                average_found_char_style=c.style.average_found_char_style,
+            )
+        else:
+            self.style_extractor = None
+        if c.generator.kind == "pure":
+            self.generator = SpacedGenerator(
+                num_class=c.num_class, style_dim=c.style.style_dim,
+                dim=c.generator.dim, n_style_trans=c.generator.n_style_trans,
+                append_style=c.generator.append_style,
+                emb_dropout=c.generator.emb_dropout, small=c.generator.small)
+        else:
+            self.generator = None
+        if c.discriminator.enabled:
+            self.discriminator = DiscriminatorAP(
+                dim=c.discriminator.dim, use_low=c.discriminator.use_low,
+                use_med=c.discriminator.use_med, small=c.discriminator.small)
+        else:
+            self.discriminator = None
+        if c.spacer.enabled:
+            self.spacer = CountCNN(
+                hidden=c.spacer.dim,
+                n_out=2 if c.spacer.count_duplicates else 1)
+        else:
+            self.spacer = None
+
+    # ------------------------------------------------------------------
+    # flows (use with model.apply(..., method='<name>'))
+    # ------------------------------------------------------------------
+
+    def recognize(self, image):
+        """HWR log-probs ``[B, T=W/4, C]``."""
+        return self.hwr(image)
+
+    def extract_style(self, image, a_batch_size: int = 1,
+                      pred: Optional[jnp.ndarray] = None):
+        """Style from same-author image groups.  Returns ``(style, pred)``
+        with style repeated per line (``hw_with_style.py:299``)."""
+        if pred is None:
+            pred = self.hwr(image)
+        img_c, pred_c = collapse_author_batch(image, pred, a_batch_size)
+        style = self.style_extractor(img_c, pred_c)
+        if isinstance(style, tuple):
+            style = tuple(jnp.repeat(s, a_batch_size, axis=0) for s in style)
+        else:
+            style = jnp.repeat(style, a_batch_size, axis=0)
+        return style, pred
+
+    def space(self, labels, label_lengths, style, rng, *, spaced_len: int,
+              deterministic: bool = True):
+        """Spacer counts + noisy scatter -> spaced class map ``[B, T]``."""
+        c = self.cfg
+        label_oh = onehot(labels, c.num_class)
+        counts = self.spacer(label_oh, _flat_style(style),
+                             deterministic=deterministic)
+        spaced, total = insert_spaces(
+            labels, label_lengths, counts, rng, max_len=spaced_len,
+            count_std=c.count_std, dup_std=c.dup_std,
+            count_duplicates=c.spacer.count_duplicates)
+        return spaced, {"counts": counts, "total_len": total}
+
+    def generate(self, labels, label_lengths, style, rng, *,
+                 spaced_len: int, deterministic: bool = True):
+        """Full text->image generation (``hw_with_style.py:232-268``)."""
+        spaced, aux = self.space(labels, label_lengths, style, rng,
+                                 spaced_len=spaced_len,
+                                 deterministic=deterministic)
+        img = self.generator(onehot(spaced, self.cfg.num_class),
+                             _flat_style(style), deterministic=deterministic)
+        aux["spaced"] = spaced
+        return img, aux
+
+    def generate_spaced(self, spaced, style, deterministic: bool = True):
+        """Generator on a precomputed spaced class map ``[B, T]``."""
+        return self.generator(onehot(spaced, self.cfg.num_class),
+                              _flat_style(style),
+                              deterministic=deterministic)
+
+    def autoencode(self, image, labels, label_lengths, a_batch_size: int = 1,
+                   spaced_label: Optional[jnp.ndarray] = None,
+                   deterministic: bool = True):
+        """Reconstruct the input line in its own extracted style
+        (``hw_with_style.py:270-279``)."""
+        style, pred = self.extract_style(image, a_batch_size)
+        if spaced_label is None:
+            spaced_label = viterbi_align(pred, labels, label_lengths)
+        recon = self.generator(onehot(spaced_label, self.cfg.num_class),
+                               _flat_style(style),
+                               deterministic=deterministic)
+        return recon, {"style": style, "pred": pred,
+                       "spaced_label": spaced_label}
+
+    def discriminate(self, image, deterministic: bool = True):
+        return self.discriminator(image, deterministic=deterministic)
+
+    def init_all(self, image, labels, label_lengths, a_batch_size: int = 1,
+                 spaced_len: int = 64):
+        """Touch every submodule so one ``init`` builds the full param tree.
+
+        flax creates parameters lazily per traced method; initializing via a
+        single flow (e.g. ``autoencode``) would leave the discriminator /
+        spacer uninitialized.  Trainers and checkpoints call this.
+        """
+        outs = []
+        if self.hwr is not None and self.style_extractor is not None:
+            recon, aux = self.autoencode(image, labels, label_lengths,
+                                         a_batch_size)
+            style = _flat_style(aux["style"])
+            outs.append(recon)
+        else:
+            style = jnp.zeros((image.shape[0], self.cfg.style.style_dim))
+            if self.hwr is not None:
+                outs.append(self.hwr(image))
+        if self.generator is not None and self.spacer is not None:
+            img, _ = self.generate(labels, label_lengths, style,
+                                   jax.random.PRNGKey(0),
+                                   spaced_len=spaced_len)
+            outs.append(img)
+        elif self.generator is not None:
+            spaced = jnp.zeros((image.shape[0], spaced_len), jnp.int32)
+            outs.append(self.generate_spaced(spaced, style))
+        if self.discriminator is not None:
+            outs.append(self.discriminator(image))
+        return outs
+
+
+def _flat_style(style):
+    """Tuple styles use the g_style component for broadcast consumers."""
+    if isinstance(style, tuple):
+        return style[0]
+    return style

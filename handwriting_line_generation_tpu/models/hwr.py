@@ -1,0 +1,115 @@
+"""Handwriting recognizers (CTC heads).
+
+* :class:`CNNOnlyHWR` — the paper-path recognizer: 7-conv trunk collapsing
+  H=64 to 1, then a dilated 1-D conv stack, log-softmax over classes
+  (``model/cnn_only_hwr.py:7-107``; selected by ``"hwr": "CNNOnly batchnorm"``
+  in the published configs).
+* :class:`CRNN` — the Start-Follow-Read lineage CNN+BiLSTM variant
+  (``model/cnn_lstm.py:28-103``), with the cuDNN LSTM replaced by a
+  ``flax.linen.RNN``/``lax.scan`` bidirectional LSTM.
+
+TPU deviation (deliberate): all convs/pools use SAME padding so the output
+sequence length is exactly ``W/4`` (the reference's VALID tail convs give
+``W/4 - 6``, which forces ad-hoc width fix-ups downstream, e.g.
+``hw_with_style_trainer.py:769-785``).  With ``T = W/4`` the generator's
+4x width upsampling reproduces the image width exactly and all width
+bookkeeping disappears.  Outputs are batch-major ``[B, T, C]`` log-probs.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from handwriting_line_generation_tpu.models.layers import gn, max_pool
+
+
+class _ConvTrunk(nn.Module):
+    """Shared 7-conv trunk: 64-128-256-256-512-512-512, H/8 within, W/4.
+
+    Norm placement mirrors the reference (layers 2, 4, 6 normalized,
+    ``cnn_only_hwr.py:43-56``); "batch" is mapped to group-norm (batch stats
+    don't shard over a data mesh).
+    """
+    norm: str = "group"
+    small: bool = False
+
+    @nn.compact
+    def __call__(self, x):                     # [B, H, W, 1]
+        widths = (64, 128, 256, 256, 512, 512, 512)
+        normed = (False, False, True, False, True, False, True)
+        for i, (f, use_norm) in enumerate(zip(widths, normed)):
+            x = nn.Conv(f, (3, 3), padding="SAME")(x)
+            if use_norm and self.norm != "none":
+                x = gn(f)(x)
+            x = nn.relu(x)
+            if i == 0 and not self.small:
+                x = max_pool(x, (2, 2))                       # H/2, W/2
+            elif i == 1:
+                x = max_pool(x, (2, 2))                       # H/4, W/4
+            elif i in (3, 5):
+                x = max_pool(x, (2, 2), (2, 1), padding="SAME")  # H halves
+        return x                                               # [B, H/32, W/4, 512]
+
+
+class CNNOnlyHWR(nn.Module):
+    """Conv trunk + height collapse + dilated 1-D stack -> log-probs.
+
+    Dilations (2, 4, 1, 8, 1) as ``cnn_only_hwr.py:61-76``.
+    """
+    num_class: int
+    norm: str = "group"
+    small: bool = False
+
+    @nn.compact
+    def __call__(self, x, return_features: bool = False):
+        feats = _ConvTrunk(norm=self.norm, small=self.small)(x)
+        b, h, w, c = feats.shape
+        # collapse remaining height (2 rows for H=64 input) by mean: the
+        # reference ends at H=1 via VALID convs; mean-collapse is the
+        # shape-stable equivalent
+        seq = jnp.mean(feats, axis=1)                          # [B, T, 512]
+        skip = seq
+        for dil in (2, 4, 1, 8):
+            seq = nn.Conv(512, (3,), kernel_dilation=(dil,), padding="SAME")(seq)
+            if self.norm != "none":
+                seq = gn(512)(seq)
+            seq = nn.relu(seq)
+        logits = nn.Conv(self.num_class, (3,), padding="SAME")(seq)
+        out = nn.log_softmax(logits, axis=-1)
+        if return_features:
+            return out, skip
+        return out
+
+
+class CRNN(nn.Module):
+    """Conv trunk + 2-layer bidirectional LSTM (``cnn_lstm.py:28-103``)."""
+    num_class: int
+    hidden: int = 512
+    norm: str = "group"
+    small: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        feats = _ConvTrunk(norm=self.norm, small=self.small)(x)
+        seq = jnp.mean(feats, axis=1)                          # [B, T, 512]
+        for _ in range(2):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))(seq)
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
+                         keep_order=True)(seq)
+            seq = nn.Dense(self.hidden)(jnp.concatenate([fwd, bwd], -1))
+        logits = nn.Dense(self.num_class)(seq)
+        return nn.log_softmax(logits, axis=-1)
+
+
+def build_hwr(kind: str, num_class: int, norm: str = "group",
+              small: bool = False):
+    if kind == "cnn_only":
+        return CNNOnlyHWR(num_class=num_class, norm=norm, small=small)
+    if kind == "crnn":
+        return CRNN(num_class=num_class, norm=norm, small=small)
+    if kind == "none":
+        return None
+    raise ValueError(f"unknown hwr kind {kind!r}")

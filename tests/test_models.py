@@ -1,0 +1,188 @@
+"""Model zoo shape and behavior tests (small dims for CPU speed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from handwriting_line_generation_tpu.config import ModelConfig, StyleConfig
+from handwriting_line_generation_tpu.models.autoencoder import Autoencoder
+from handwriting_line_generation_tpu.models.char_style import CharStyleEncoder
+from handwriting_line_generation_tpu.models.count_cnn import CountCNN
+from handwriting_line_generation_tpu.models.discriminator import DiscriminatorAP
+from handwriting_line_generation_tpu.models.generator import SpacedGenerator
+from handwriting_line_generation_tpu.models.hwr import CNNOnlyHWR, CRNN
+from handwriting_line_generation_tpu.models.hw_with_style import (
+    HWWithStyle, collapse_author_batch,
+)
+from handwriting_line_generation_tpu.models.layers import group_count
+
+NC = 12  # small charset for tests
+
+
+def test_group_count():
+    assert group_count(64) == 8
+    assert group_count(32) == 8
+    assert group_count(16) == 4
+    assert group_count(30) == 5   # factors 2,3,5 -> closest to 4 favoring larger
+
+
+def test_cnn_only_hwr_shapes():
+    m = CNNOnlyHWR(num_class=NC)
+    x = jnp.zeros((2, 64, 96, 1))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 96 // 4, NC)          # T = W/4 exactly
+    # log-softmax: rows sum to 1 in prob space
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_crnn_shapes():
+    m = CRNN(num_class=NC, hidden=32)
+    x = jnp.zeros((1, 64, 64, 1))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 16, NC)
+
+
+def test_generator_shapes_and_noise():
+    m = SpacedGenerator(num_class=NC, style_dim=16, dim=32)
+    T = 12
+    spaced = jax.nn.one_hot(jnp.zeros((2, T), jnp.int32), NC)
+    style = jnp.ones((2, 16))
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "noise": jax.random.PRNGKey(1)}, spaced, style)
+    img = m.apply(params, spaced, style, rngs={"noise": jax.random.PRNGKey(2)})
+    assert img.shape == (2, 64, 4 * T, 1)         # H=64, W=4T
+    assert np.all(np.abs(np.asarray(img)) <= 1.0)  # tanh range
+    img2 = m.apply(params, spaced, style, rngs={"noise": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(img), np.asarray(img2))  # noise matters
+
+
+def test_discriminator_shapes_and_spectral_state():
+    m = DiscriminatorAP(dim=16)
+    x = jnp.zeros((2, 64, 128, 1))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    assert "spectral" in variables
+    outs, new_state = m.apply(variables, x, mutable=["spectral"])
+    assert len(outs) == 2                          # med + low heads
+    for o in outs:
+        assert o.shape[0] == 2 and o.ndim == 2
+    # u vectors must move after a power iteration on random weights
+    u_old = jax.tree_util.tree_leaves(variables["spectral"])[0]
+    u_new = jax.tree_util.tree_leaves(new_state["spectral"])[0]
+    assert not np.allclose(np.asarray(u_old), np.asarray(u_new))
+
+
+def test_discriminator_med_only():
+    m = DiscriminatorAP(dim=16, use_low=False)
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs, _ = m.apply(variables, x, mutable=["spectral"])
+    assert len(outs) == 1
+
+
+def test_count_cnn():
+    m = CountCNN(hidden=32, n_out=2)
+    oh = jax.nn.one_hot(jnp.ones((3, 7), jnp.int32), NC)
+    style = jnp.zeros((3, 16))
+    params = m.init(jax.random.PRNGKey(0), oh, style)
+    out = m.apply(params, oh, style)
+    assert out.shape == (3, 7, 2)
+    # with zeroed conv output the prediction sits at the learned mean (2, 0)
+    # -> random init keeps it near; just check finite
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_autoencoder_shapes():
+    m = Autoencoder(kind="2tight", hwr_classes=NC)
+    x = jnp.zeros((2, 64, 96, 1))
+    params = m.init(jax.random.PRNGKey(0), x)
+    recon, ctc = m.apply(params, x)
+    assert recon.shape == (2, 64, 96, 1)           # exact width round-trip
+    assert ctc.shape == (2, 96 // 8, NC)
+    enc, mid = m.apply(params, x, method="encode")
+    assert enc.shape == (2, 1, 96 // 8, 32)
+    assert mid.shape == (2, 16, 24, 64)
+
+
+def test_char_style_single():
+    m = CharStyleEncoder(num_class=NC, style_dim=24, dim=8, char_dim=8,
+                         window=2, capacity=4)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 1))
+    recog = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 16, NC)), -1)
+    params = m.init(jax.random.PRNGKey(2), img, recog)
+    style = m.apply(params, img, recog)
+    assert style.shape == (2, 24)
+    assert np.all(np.isfinite(np.asarray(style)))
+
+
+def test_char_style_tuple():
+    m = CharStyleEncoder(num_class=NC, style_dim=24, char_style_dim=8,
+                         dim=8, char_dim=8, window=2, capacity=4)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 1))
+    recog = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 16, NC)), -1)
+    params = m.init(jax.random.PRNGKey(2), img, recog)
+    g, spacing, chars = m.apply(params, img, recog)
+    assert g.shape == (2, 24)
+    assert spacing.shape == (2, 8)
+    assert chars.shape == (2, NC, 8)
+
+
+def test_collapse_author_batch():
+    img = jnp.arange(2 * 2 * 4 * 1.0).reshape(2, 2, 4, 1)  # B=2,H=2,W=4
+    seq = jnp.arange(2 * 3 * 2.0).reshape(2, 3, 2)
+    ic, sc = collapse_author_batch(img, seq, 2)
+    assert ic.shape == (1, 2, 8, 1)
+    assert sc.shape == (1, 6, 2)
+    # the two widths must be side by side, same rows
+    np.testing.assert_array_equal(np.asarray(ic)[0, :, :4, 0],
+                                  np.asarray(img)[0, :, :, 0])
+    np.testing.assert_array_equal(np.asarray(ic)[0, :, 4:, 0],
+                                  np.asarray(img)[1, :, :, 0])
+
+
+def _tiny_model_cfg():
+    cfg = ModelConfig(num_class=NC)
+    cfg.style = StyleConfig(style_dim=16, dim=8, char_dim=8, window=2,
+                            char_capacity=4)
+    cfg.generator.dim = 32
+    cfg.discriminator.dim = 16
+    cfg.spacer.dim = 16
+    return cfg
+
+
+def test_composite_generate_and_autoencode():
+    cfg = _tiny_model_cfg()
+    model = HWWithStyle(cfg)
+    B, W = 2, 64
+    image = jax.random.normal(jax.random.PRNGKey(0), (B, 64, W, 1))
+    labels = jnp.array([[1, 2, 3, 0], [4, 5, 0, 0]], jnp.int32)
+    lengths = jnp.array([3, 2], jnp.int32)
+    style = jnp.zeros((B, 16))
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        labels, lengths, style, jax.random.PRNGKey(3), spaced_len=16,
+        method="generate")
+    img, aux = model.apply(
+        variables, labels, lengths, style, jax.random.PRNGKey(4),
+        spaced_len=16, method="generate",
+        rngs={"noise": jax.random.PRNGKey(5)})
+    assert img.shape == (B, 64, 64, 1)
+    assert aux["counts"].shape == (B, 4, 2)
+    assert aux["spaced"].shape == (B, 16)
+
+    # autoencode needs hwr+style params too: init via autoencode method
+    variables2 = model.init(
+        {"params": jax.random.PRNGKey(6), "noise": jax.random.PRNGKey(7)},
+        image, labels, lengths, 2, method="autoencode")
+    recon, aux2 = model.apply(
+        variables2, image, labels, lengths, 2, method="autoencode",
+        rngs={"noise": jax.random.PRNGKey(8)})
+    assert recon.shape == (B, 64, W, 1)            # recon width == image width
+    assert aux2["style"].shape == (B, 16)
+    assert aux2["pred"].shape == (B, W // 4, NC)
+    assert aux2["spaced_label"].shape == (B, W // 4)
