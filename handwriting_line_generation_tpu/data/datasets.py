@@ -1,0 +1,294 @@
+"""Host-side datasets and static-shape batching.
+
+Replaces the reference's torch ``Dataset``/``DataLoader`` stack
+(``datasets/hw_dataset.py``, ``datasets/author_hw_dataset.py``,
+``data_loader/data_loaders.py``) with plain-numpy corpora and a
+**width-bucketed** batcher: every batch is padded to the smallest configured
+width bucket that fits it (pad value -1 = paper, the reference's
+``PADDING_CONSTANT``, ``hw_dataset.py:22``), so XLA compiles a small fixed
+set of shapes instead of one program per batch width (SURVEY.md §5.7).
+
+Augmentation is **not** applied here — it runs on-device inside the train
+step (``ops/augment.py``), which is the TPU-first split: host does file
+decode + crop + resize only.
+
+Batch contract (mirrors ``author_hw_dataset.py:91-111``; batch-major):
+  image          [B, H, Wb, 1] float32
+  label          [B, Lb]       int32
+  label_lengths  [B]           int32
+  width          [B]           int32 (true unpadded width)
+  fg_mask        [B, H, Wb, 1] float32 (optional)
+  gt             list[str], authors list[str], a_batch_size int
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from collections import defaultdict
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from handwriting_line_generation_tpu.charset import (
+    Charset, IAM_CHARSET, RIMES_CHARSET,
+)
+from handwriting_line_generation_tpu.config import DataConfig
+from handwriting_line_generation_tpu.data.iam import parse_form_xml
+from handwriting_line_generation_tpu.data.rimes import parse_rimes_lines_xml
+from handwriting_line_generation_tpu.data.synthetic import (
+    SyntheticCorpus, normalize_image,
+)
+
+PAD_VALUE = -1.0
+
+
+@dataclasses.dataclass
+class LineRecord:
+    author: str
+    gt: str
+    load: Callable[[], np.ndarray]        # -> normalized [H, W] float32
+
+
+def load_crop_resize(img_path: str, bounds, img_height: int,
+                     max_width: int) -> np.ndarray:
+    """imread + line crop + height resize with width cap
+    (``author_hw_dataset.py:374-397`` semantics), normalized 1 - px/128."""
+    img = cv2.imread(img_path, 0)
+    if img is None:
+        raise FileNotFoundError(img_path)
+    y0, y1, x0, x1 = bounds
+    y0, x0 = max(0, y0), max(0, x0)
+    img = img[y0:y1, x0:x1]
+    if img.shape[0] != img_height:
+        pct = img_height / img.shape[0]
+        if img.shape[1] * pct > max_width:
+            pct = max_width / img.shape[1]
+        img = cv2.resize(img, (0, 0), fx=pct, fy=pct,
+                         interpolation=cv2.INTER_CUBIC)
+        if img.shape[0] < img_height:
+            d = img_height - img.shape[0]
+            img = np.pad(img, ((d // 2, d - d // 2), (0, 0)),
+                         constant_values=255)
+    elif img.shape[1] > max_width:
+        pct = max_width / img.shape[1]
+        img = cv2.resize(img, (0, 0), fx=pct, fy=pct,
+                         interpolation=cv2.INTER_CUBIC)
+    return normalize_image(img)
+
+
+def fg_mask_of(img_norm: np.ndarray) -> np.ndarray:
+    """Otsu + 9x9 elliptic dilation foreground mask in {0,1}
+    (``author_hw_dataset.py:216-221``)."""
+    u8 = np.clip((1.0 - img_norm) * 128.0, 0, 255).astype(np.uint8)
+    _, binarized = cv2.threshold(u8, 0, 255,
+                                 cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    binarized = 255 - binarized
+    ele = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (9, 9))
+    return (cv2.dilate(binarized, ele) / 255.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Corpora
+# ---------------------------------------------------------------------------
+
+
+def iam_records(data_dir: str, split: str, img_height: int,
+                max_width: int,
+                sets_path: Optional[str] = None) -> List[LineRecord]:
+    """IAM line records for a split, via a ``sets.json``
+    ({split: [form names]}) next to the data or given explicitly."""
+    sets_path = sets_path or os.path.join(data_dir, "sets.json")
+    with open(sets_path) as f:
+        names = json.load(f)[split]
+    records: List[LineRecord] = []
+    for name in names:
+        xml = os.path.join(data_dir, "xmls", name + ".xml")
+        lines, writer = parse_form_xml(xml)
+        img_path = os.path.join(data_dir, "forms", name + ".png")
+        for line in lines:
+            records.append(LineRecord(
+                author=writer, gt=line.text,
+                load=(lambda p=img_path, b=line.bounds:
+                      load_crop_resize(p, b, img_height, max_width))))
+    return records
+
+
+def rimes_records(data_dir: str, split: str, img_height: int,
+                  max_width: int) -> List[LineRecord]:
+    """RIMES line records; "authors" are pages
+    (``author_rimeslines_dataset.py:119-124``)."""
+    xml_name = ("lines_training_2011.xml" if split == "train"
+                else "lines_eval_2011_annotated.xml")
+    pages = parse_rimes_lines_xml(os.path.join(data_dir, xml_name))
+    records: List[LineRecord] = []
+    for image, lines in pages.items():
+        img_path = os.path.join(data_dir, "images_gray", image)
+        for line in lines:
+            records.append(LineRecord(
+                author=image, gt=line.text,
+                load=(lambda p=img_path, b=line.bounds:
+                      load_crop_resize(p, b, img_height, max_width))))
+    return records
+
+
+def synthetic_records(split: str, img_height: int, charset: Charset,
+                      n_authors: int = 8, lines_per_author: int = 24,
+                      **kw) -> List[LineRecord]:
+    seed = {"train": 0, "valid": 1, "test": 2}.get(split, 3)
+    corpus = SyntheticCorpus(n_authors, lines_per_author, charset,
+                             img_height, seed=seed, **kw)
+    return [LineRecord(author=corpus.get(i)[2], gt=corpus.records[i][1],
+                       load=(lambda c=corpus, j=i: c.get(j)[0]))
+            for i in range(len(corpus))]
+
+
+# ---------------------------------------------------------------------------
+# Batchers
+# ---------------------------------------------------------------------------
+
+
+def _bucket(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+def _assemble(records: List[LineRecord], charset: Charset,
+              width_buckets, label_buckets, with_fg: bool,
+              a_batch_size: int) -> Dict:
+    imgs = [r.load() for r in records]
+    H = imgs[0].shape[0]
+    wb = _bucket(max(i.shape[1] for i in imgs), width_buckets)
+    labels = [charset.encode(r.gt) for r in records]
+    lb = _bucket(max(max(len(l) for l in labels), 1), label_buckets)
+
+    B = len(records)
+    image = np.full((B, H, wb, 1), PAD_VALUE, np.float32)
+    label = np.zeros((B, lb), np.int32)
+    lens = np.zeros(B, np.int32)
+    widths = np.zeros(B, np.int32)
+    fg = np.zeros((B, H, wb, 1), np.float32) if with_fg else None
+    for i, (img, lab) in enumerate(zip(imgs, labels)):
+        w = min(img.shape[1], wb)
+        image[i, :, :w, 0] = img[:, :w]
+        widths[i] = w
+        n = min(len(lab), lb)
+        label[i, :n] = lab[:n]
+        lens[i] = n
+        if with_fg:
+            fg[i, :, :w, 0] = fg_mask_of(img[:, :w])
+    out = {
+        "image": image, "label": label, "label_lengths": lens,
+        "width": widths, "gt": [r.gt for r in records],
+        "author": [r.author for r in records],
+        "a_batch_size": a_batch_size,
+    }
+    if with_fg:
+        out["fg_mask"] = fg
+    return out
+
+
+class LineBatcher:
+    """Flat line batches (HWR pretraining; ``datasets/hw_dataset.py``)."""
+
+    def __init__(self, records: List[LineRecord], charset: Charset,
+                 batch_size: int, cfg: DataConfig, with_fg: bool = False):
+        self.records = records
+        self.charset = charset
+        self.batch_size = batch_size
+        self.cfg = cfg
+        self.with_fg = with_fg
+
+    def __len__(self):
+        return max(1, len(self.records) // self.batch_size)
+
+    def batches(self, rng: np.random.Generator,
+                shuffle: bool = True) -> Iterator[Dict]:
+        order = np.arange(len(self.records))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            recs = [self.records[j] for j in order[i:i + self.batch_size]]
+            yield _assemble(recs, self.charset, self.cfg.width_buckets,
+                            self.cfg.label_buckets, self.with_fg, 1)
+
+
+class AuthorBatcher:
+    """Author-grouped batches: ``batch_size`` authors x ``a_batch_size``
+    lines, with the reference's leftover-fill grouping
+    (``author_hw_dataset.py:166-189``)."""
+
+    def __init__(self, records: List[LineRecord], charset: Charset,
+                 batch_size: int, a_batch_size: int, cfg: DataConfig,
+                 with_fg: bool = True):
+        self.charset = charset
+        self.batch_size = batch_size
+        self.a = a_batch_size
+        self.cfg = cfg
+        self.with_fg = with_fg
+        by_author: Dict[str, List[LineRecord]] = defaultdict(list)
+        for r in records:
+            by_author[r.author].append(r)
+        self.groups: List[List[LineRecord]] = []
+        for author, lines in sorted(by_author.items()):
+            for i in range(len(lines) // self.a):
+                self.groups.append(lines[i * self.a:(i + 1) * self.a])
+            leftover = len(lines) % self.a
+            if leftover:
+                fill = self.a - leftover
+                self.groups.append(lines[:fill] + lines[-leftover:])
+
+    def __len__(self):
+        return max(1, len(self.groups) // self.batch_size)
+
+    def batches(self, rng: np.random.Generator,
+                shuffle: bool = True) -> Iterator[Dict]:
+        order = np.arange(len(self.groups))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+            recs = [r for j in order[i:i + self.batch_size]
+                    for r in self.groups[j]]
+            yield _assemble(recs, self.charset, self.cfg.width_buckets,
+                            self.cfg.label_buckets, self.with_fg, self.a)
+
+
+def forever(batcher, seed: int = 0, shuffle: bool = True) -> Iterator[Dict]:
+    """Infinite epoch-cycling iterator (the trainers are iteration-based)."""
+    epoch = 0
+    while True:
+        rng = np.random.default_rng(seed + epoch)
+        yield from batcher.batches(rng, shuffle)
+        epoch += 1
+
+
+def get_charset(cfg: DataConfig) -> Charset:
+    if cfg.charset == "iam":
+        return IAM_CHARSET
+    if cfg.charset == "rimes":
+        return RIMES_CHARSET
+    return Charset.load(cfg.charset)
+
+
+def make_batcher(cfg: DataConfig, split: str):
+    """Dataset dispatch (replaces ``data_loader/data_loaders.py:11-42``)."""
+    charset = get_charset(cfg)
+    if cfg.dataset == "synthetic":
+        records = synthetic_records(split, cfg.img_height, charset)
+    elif cfg.dataset in ("iam_author", "iam_lines"):
+        records = iam_records(cfg.data_dir, split, cfg.img_height,
+                              cfg.max_width)
+    elif cfg.dataset == "rimes_author":
+        records = rimes_records(cfg.data_dir, split, cfg.img_height,
+                                cfg.max_width)
+    else:
+        raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    if cfg.dataset == "iam_lines":
+        return LineBatcher(records, charset, cfg.batch_size, cfg,
+                           with_fg=False)
+    return AuthorBatcher(records, charset, cfg.batch_size, cfg.a_batch_size,
+                         cfg, with_fg=cfg.fg_masks)

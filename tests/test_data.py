@@ -1,0 +1,179 @@
+"""Data layer tests: parsers (synthetic XML fixtures), batchers, augmentation."""
+
+import os
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handwriting_line_generation_tpu.charset import IAM_CHARSET
+from handwriting_line_generation_tpu.config import DataConfig
+from handwriting_line_generation_tpu.data.datasets import (
+    AuthorBatcher, LineBatcher, forever, make_batcher, synthetic_records,
+)
+from handwriting_line_generation_tpu.data.iam import parse_form_xml
+from handwriting_line_generation_tpu.data.rimes import parse_rimes_lines_xml
+from handwriting_line_generation_tpu.data.synthetic import render_line
+from handwriting_line_generation_tpu.data.text_data import TextSampler
+from handwriting_line_generation_tpu.ops.augment import (
+    affine_slant_stretch, apply_augmentation, deskew, grid_warp,
+    otsu_threshold, tensmeyer_brightness,
+)
+from handwriting_line_generation_tpu.ops.masks import line_geometry, make_mask
+
+IAM_XML = textwrap.dedent("""\
+    <form id="a01-000u" writer-id="000">
+      <handwritten-part>
+        <line text="A MOVE to stop">
+          <word text="A"><cmp x="100" y="50" width="20" height="30"/></word>
+          <word text="MOVE"><cmp x="130" y="45" width="60" height="40"/>
+            <cmp x="200" y="50" width="30" height="30"/></word>
+        </line>
+        <line text="second line">
+          <word text="second"><cmp x="90" y="120" width="80" height="20"/></word>
+        </line>
+      </handwritten-part>
+    </form>
+""")
+
+RIMES_XML = textwrap.dedent("""\
+    <DocumentList>
+      <SinglePage FileName="images/page1.png">
+        <Paragraph>
+          <Line Value="bonjour monde" Top="10" Bottom="40" Left="5" Right="200"/>
+          <Line Value="deuxieme" Top="50" Bottom="70" Left="5" Right="150"/>
+        </Paragraph>
+      </SinglePage>
+    </DocumentList>
+""")
+
+
+def test_parse_iam_xml(tmp_path):
+    p = tmp_path / "form.xml"
+    p.write_text(IAM_XML)
+    lines, writer = parse_form_xml(str(p))
+    assert writer == "000"
+    assert len(lines) == 2
+    assert lines[0].text == "A MOVE to stop"
+    # mean height = ((1+85-45) + (1+140-120))/2 = 31; line2 h=21 -> padded
+    l2 = lines[1]
+    assert (l2.y1 - l2.y0) >= 30          # padded up toward mean height
+    assert l2.x0 < 90                     # horizontal padding applied
+
+
+def test_parse_rimes_xml(tmp_path):
+    p = tmp_path / "lines.xml"
+    p.write_text(RIMES_XML)
+    pages = parse_rimes_lines_xml(str(p))
+    assert "page1.png" in pages
+    assert pages["page1.png"][0].text == "bonjour monde"
+
+
+def test_synthetic_render_determinism():
+    a = render_line("hello", IAM_CHARSET, author_id=3, seed=5)
+    b = render_line("hello", IAM_CHARSET, author_id=3, seed=5)
+    c = render_line("hello", IAM_CHARSET, author_id=4, seed=5)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape[0] == 64
+    assert not np.array_equal(a, c)       # author style matters
+    assert a.min() < 100 and a.max() == 255  # has ink and paper
+
+
+def _cfg(**kw):
+    return DataConfig(dataset="synthetic", batch_size=2, a_batch_size=2,
+                      width_buckets=(128, 256, 512), label_buckets=(16, 32),
+                      **kw)
+
+
+def test_author_batcher_contract():
+    cfg = _cfg()
+    records = synthetic_records("train", 64, IAM_CHARSET, n_authors=3,
+                                lines_per_author=5)
+    b = AuthorBatcher(records, IAM_CHARSET, 2, 2, cfg, with_fg=True)
+    batch = next(b.batches(np.random.default_rng(0)))
+    B = 4   # 2 authors x 2 lines
+    assert batch["image"].shape[0] == B
+    assert batch["image"].shape[1] == 64
+    assert batch["image"].shape[2] in cfg.width_buckets
+    assert batch["label"].shape[1] in cfg.label_buckets
+    assert batch["fg_mask"].shape == batch["image"].shape
+    assert batch["a_batch_size"] == 2
+    # author pairing: lines 0,1 same author; 2,3 same author
+    assert batch["author"][0] == batch["author"][1]
+    assert batch["author"][2] == batch["author"][3]
+    # padding value: area right of true width is -1
+    w0 = batch["width"][0]
+    if w0 < batch["image"].shape[2]:
+        assert np.all(batch["image"][0, :, w0:, 0] == -1.0)
+    # leftover-fill: every author with 5 lines yields 3 groups (2+2+fill)
+    assert len(b.groups) == 9
+
+
+def test_make_batcher_and_forever():
+    cfg = _cfg()
+    b = make_batcher(cfg, "train")
+    it = forever(b, seed=0)
+    batches = [next(it) for _ in range(len(b) + 2)]   # crosses an epoch
+    assert all(bt["image"].ndim == 4 for bt in batches)
+
+
+def test_text_sampler():
+    ts = TextSampler(IAM_CHARSET, batch_size=3, max_len=10, seed=0)
+    batch = ts.get_batch()
+    assert batch["image"] is None
+    assert batch["label"].shape[0] == 3
+    assert all(1 <= n <= 10 for n in batch["label_lengths"])
+    for i, gt in enumerate(batch["gt"]):
+        dec = IAM_CHARSET.decode(batch["label"][i])
+        assert dec == gt[: len(dec)]
+
+
+def test_otsu_separates_bimodal():
+    img = np.full((64, 64, 1), 240.0)
+    img[20:40, 10:50] = 20.0
+    th = float(otsu_threshold(jnp.asarray(img)))
+    assert 20 < th < 240
+
+
+def test_augment_shapes_and_effect():
+    img = jnp.asarray(np.random.default_rng(0).normal(
+        -0.9, 0.1, (2, 64, 96, 1)).astype(np.float32))
+    out = tensmeyer_brightness(img, jax.random.PRNGKey(0))
+    assert out.shape == img.shape
+    out2 = grid_warp(img, jax.random.PRNGKey(1))
+    assert out2.shape == img.shape
+    sk = jnp.array([0.3, -0.3])
+    st = jnp.array([1.2, 0.8])
+    out3 = affine_slant_stretch(img, sk, st)
+    assert out3.shape == img.shape
+    out4, fg = apply_augmentation("affine", img, jnp.zeros_like(img),
+                                  jax.random.PRNGKey(2))
+    assert out4.shape == img.shape and fg.shape == img.shape
+
+
+def test_deskew_reduces_slant():
+    from handwriting_line_generation_tpu.data.synthetic import normalize_image
+    base = render_line("lll III lll", IAM_CHARSET, author_id=0, seed=1)
+    img = jnp.asarray(normalize_image(base))[None, :, :, None]
+    slanted = affine_slant_stretch(img, jnp.array([0.5]), jnp.array([1.0]))
+    fixed = deskew(slanted)
+    # vertical projection variance should recover after deskew
+    def pvar(x):
+        return float(jnp.var(jnp.sum(jnp.clip(x[0, :, :, 0], 0, None), 0)))
+    assert pvar(fixed) > pvar(slanted) * 1.05
+
+
+def test_make_mask_covers_ink():
+    from handwriting_line_generation_tpu.data.synthetic import normalize_image
+    base = render_line("abc", IAM_CHARSET, author_id=1, seed=2)
+    img = jnp.asarray(normalize_image(base))[None, :, :, None]
+    mask = make_mask(img, post=["thresh", "dilateCircle", "errodeCircle"],
+                     morph_kernel=9)
+    ink = np.asarray(img[0, :, :, 0]) > 0.2
+    covered = np.asarray(mask[0, :, :, 0])[ink]
+    assert covered.mean() > 0.9           # mask covers nearly all ink
+    tb, center = line_geometry(img, mask)
+    assert tb.shape == (1, 2, img.shape[2])
+    assert center.shape == (1, img.shape[2])
+    assert 0 < float(center[0, img.shape[2] // 4]) < 64
