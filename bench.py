@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: generated handwriting lines/sec/chip.
+
+Measures the BASELINE.md north-star metric — batched ``pure_gen`` inference
+from pretrained-style vectors at paper scale (num_class 80, style_dim 128,
+gen_dim 256, spacer on), text ~40 chars -> 64x768 px lines — on whatever
+chip ``jax.devices()[0]`` is.  Prints ONE JSON line:
+``{"metric", "value", "unit", "vs_baseline"}`` with ``vs_baseline``
+relative to the 2,000 lines/sec/chip target (the reference publishes no
+throughput numbers, SURVEY.md §6).
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from handwriting_line_generation_tpu.charset import IAM_CHARSET
+    from handwriting_line_generation_tpu.config import (
+        Config, DiscriminatorConfig, GeneratorConfig, HWRConfig, ModelConfig,
+        SpacerConfig, StyleConfig)
+    from handwriting_line_generation_tpu.inference.generate import \
+        GenerationSession
+    from handwriting_line_generation_tpu.models.hw_with_style import \
+        HWWithStyle
+
+    # paper-scale generator path (configs/cf_IAMslant_...sMG.json model block)
+    mc = ModelConfig(
+        num_class=80,
+        style=StyleConfig(style_dim=128, dim=64, char_dim=128, window=2),
+        generator=GeneratorConfig(dim=256, append_style=True),
+        discriminator=DiscriminatorConfig(enabled=False),
+        spacer=SpacerConfig(dim=128, count_duplicates=True),
+        hwr=HWRConfig(kind="none"),
+    )
+    model = HWWithStyle(mc)
+
+    text = "The quick brown fox jumps over dogs"      # 35 chars
+    label = jnp.asarray(IAM_CHARSET.encode(text))
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    labels = jnp.tile(label[None], (batch, 1))
+    lens = jnp.full((batch,), label.shape[0], jnp.int32)
+    spaced_len = 192                                   # -> 64 x 768 px lines
+
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r, l, ln, s: model.init(
+            {"params": r, "noise": r}, l, ln, s, r,
+            spaced_len=spaced_len, method="generate")
+    )(rng, labels, lens, jnp.zeros((batch, 128)))
+    params = variables["params"]
+
+    session = GenerationSession(model, params, IAM_CHARSET)
+    fn = session._gen_fn(spaced_len)
+    styles = jax.random.normal(jax.random.PRNGKey(1), (batch, 128))
+
+    # bfloat16 matmuls are the default on TPU; warm up both executables
+    img, _ = fn(params, labels, lens, styles, rng, rng)
+    img.block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        k = jax.random.fold_in(rng, i)
+        img, _ = fn(params, labels, lens, styles, k, k)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    lines_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "generated_lines_per_sec_per_chip",
+        "value": round(lines_per_sec, 2),
+        "unit": "lines/s",
+        "vs_baseline": round(lines_per_sec / 2000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

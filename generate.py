@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Generation CLI.
+
+Counterpart of the reference's interactive ``generate.py`` mode menu
+(``generate.py:259-788``), scriptable: modes ``render`` (fixed text, random
+interpolated styles — reference 'R'), ``interp`` (two-style sweep — 'f' /
+default), ``stretch`` ('s'), ``math`` ('m'), ``author`` ('a'),
+``mturk`` ('t').
+"""
+
+import argparse
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-k", "--checkpoint", required=True)
+    ap.add_argument("-s", "--styles", required=True, help="styles .npz")
+    ap.add_argument("-m", "--mode", default="render",
+                    choices=["render", "interp", "stretch", "math",
+                             "author", "mturk"])
+    ap.add_argument("-t", "--text", default="the quick brown fox")
+    ap.add_argument("--text-file", default=None,
+                    help="file with one line of text per render")
+    ap.add_argument("-a", "--author", default=None)
+    ap.add_argument("-n", "--count", type=int, default=8)
+    ap.add_argument("-o", "--out-dir", default="generated")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import cv2
+    import numpy as np
+    from handwriting_line_generation_tpu.config import load_config
+    from handwriting_line_generation_tpu.data.datasets import get_charset, \
+        make_batcher
+    from handwriting_line_generation_tpu.inference.generate import (
+        GenerationSession, to_uint8)
+    from handwriting_line_generation_tpu.inference.styles import (
+        load_styles, styles_by_author)
+    from handwriting_line_generation_tpu.training.gan_trainer import GanTrainer
+    from handwriting_line_generation_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    cfg = load_config(args.config)
+    trainer = GanTrainer(cfg)
+    first = next(iter(make_batcher(cfg.data, "train").batches(
+        np.random.default_rng(0))))
+    state = CheckpointManager(args.checkpoint).latest(
+        trainer.init_state(first))
+    session = GenerationSession(trainer.model, state.params,
+                                get_charset(cfg.data))
+    data = load_styles(args.styles)
+    bank = data["styles"]
+
+    if args.text_file:
+        with open(args.text_file) as f:
+            texts = [l.rstrip("\n") for l in f if l.strip()]
+    else:
+        texts = [args.text] * args.count
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    if args.mode == "render":
+        imgs = session.random_interpolated(texts, bank, seed=args.seed)
+    elif args.mode == "interp":
+        a, b = bank[rng.integers(0, len(bank), 2)]
+        imgs = session.interpolate(texts[0], a, b, steps=args.count,
+                                   seed=args.seed)
+    elif args.mode == "stretch":
+        style = bank[rng.integers(0, len(bank))]
+        outs = session.stretch_sweep(texts[0], style, seed=args.seed)
+        imgs = np.concatenate(outs, axis=0)
+    elif args.mode == "math":
+        a, b, c = bank[rng.integers(0, len(bank), 3)]
+        imgs = session.style_math(texts[0], a, b, c, seed=args.seed)
+    elif args.mode == "author":
+        by = styles_by_author(data)
+        author = args.author or sorted(by)[0]
+        imgs = session.author_samples(texts, by, author, seed=args.seed)
+    else:  # mturk
+        imgs = np.stack(session.mturk_batch(texts, bank, seed=args.seed))
+
+    for i in range(imgs.shape[0]):
+        path = os.path.join(args.out_dir, f"{args.mode}_{i:03d}.png")
+        cv2.imwrite(path, to_uint8(imgs[i]))
+    print(f"wrote {imgs.shape[0]} images to {args.out_dir}/", flush=True)
+
+
+if __name__ == "__main__":
+    main()

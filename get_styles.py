@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Batch style-extraction CLI.
+
+Counterpart of the reference's ``get_styles.py``: run the style extractor
+over train/valid (or test with ``-T``) and write ``{styles, authors, ids}``
+to ``.npz`` files next to the checkpoint.
+"""
+
+import argparse
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-k", "--checkpoint", required=True,
+                    help="directory containing checkpoint-latest.msgpack")
+    ap.add_argument("-T", "--test", action="store_true",
+                    help="use the test split instead of train/valid")
+    ap.add_argument("-o", "--out-dir", default=None)
+    ap.add_argument("-n", "--max-batches", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    from handwriting_line_generation_tpu.config import load_config
+    from handwriting_line_generation_tpu.data.datasets import (
+        get_charset, make_batcher)
+    from handwriting_line_generation_tpu.inference.styles import (
+        StyleExtractor, save_styles)
+    from handwriting_line_generation_tpu.models.hw_with_style import HWWithStyle
+    from handwriting_line_generation_tpu.training.gan_trainer import GanTrainer
+    from handwriting_line_generation_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    cfg = load_config(args.config)
+    trainer = GanTrainer(cfg)
+    splits = ["test"] if args.test else ["train", "valid"]
+    first = next(iter(make_batcher(cfg.data, splits[0]).batches(
+        np.random.default_rng(0))))
+    state = trainer.init_state(first)
+    ckpt = CheckpointManager(args.checkpoint)
+    state = ckpt.latest(state)
+    it = int(state.step)
+    ex = StyleExtractor(trainer.model, state.params)
+    out_dir = args.out_dir or args.checkpoint
+    for split in splits:
+        b = make_batcher(cfg.data, split)
+        data = ex.extract_dataset(b, args.max_batches)
+        path = os.path.join(out_dir, f"{split}_styles_{it}.npz")
+        save_styles(path, data)
+        print(f"wrote {len(data['authors'])} styles -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

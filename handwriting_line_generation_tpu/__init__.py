@@ -19,3 +19,16 @@ Layers (see SURVEY.md for the reference layer map this mirrors):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# XLA's space-to-batch converter mis-infers shapes on some of our backward
+# convolutions (generator/HWR input-grad convs) and SIGABRTs TPU
+# compilation.  Disabling the pass is safe (it is an optimization only) and
+# must happen before the first backend initialization, hence at import.
+_flags = _os.environ.get("XLA_FLAGS", "")
+if "space-to-batch-converter" not in _flags:
+    _os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_disable_hlo_passes=space-to-batch-converter"
+    ).strip()
+del _os, _flags

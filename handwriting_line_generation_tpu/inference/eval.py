@@ -1,0 +1,120 @@
+"""Evaluation harness and render helpers.
+
+Replaces ``new_eval.py`` + ``evaluators/hwdataset_eval.py``: run the model
+over a dataset split, aggregate CER/WER and reconstruction losses, dump
+original-vs-reconstruction side-by-side images and generated-line images,
+and side-channel style/spaced outputs (``new_eval.py:249-476``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handwriting_line_generation_tpu.charset import (
+    Charset, ctc_greedy_decode_batch,
+)
+from handwriting_line_generation_tpu.models.hw_with_style import (
+    HWWithStyle, _flat_style,
+)
+from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    return ((1.0 - img[..., 0]) * 127.5).clip(0, 255).astype(np.uint8)
+
+
+def side_by_side(orig: np.ndarray, recon: np.ndarray,
+                 border: int = 2) -> np.ndarray:
+    """Original above reconstruction with a divider, per sample
+    (``hwdataset_eval.py:114-264`` layout)."""
+    o, r = _to_u8(orig), _to_u8(recon)
+    w = max(o.shape[1], r.shape[1])
+    pad = lambda x: np.pad(x, ((0, 0), (0, w - x.shape[1])),
+                           constant_values=255)
+    div = np.zeros((border, w), np.uint8)
+    return np.concatenate([pad(o), div, pad(r)], axis=0)
+
+
+class Evaluator:
+    """Generic split evaluator (replaces the ``<Dataset>_eval`` dispatch,
+    ``new_eval.py:194``)."""
+
+    def __init__(self, model: HWWithStyle, params: Dict, charset: Charset):
+        self.model = model
+        self.params = params
+        self.charset = charset
+        self._recog = jax.jit(lambda p, im: self.model.apply(
+            {"params": p}, im, method="recognize"))
+        self._auto = None
+
+    def _autoencode(self, image, label, lens, a_batch: int):
+        if self._auto is None:
+            self._auto = jax.jit(
+                lambda p, im, lb, ln: self.model.apply(
+                    {"params": p}, im, lb, ln, a_batch,
+                    method="autoencode",
+                    rngs={"noise": jax.random.PRNGKey(0)}))
+        return self._auto(self.params, image, label, lens)
+
+    def run(self, batcher, max_batches: Optional[int] = None,
+            out_dir: Optional[str] = None,
+            save_images: bool = False,
+            save_styles: bool = False,
+            save_spaced: bool = False) -> Dict:
+        """Aggregate metrics over a split; optional side-channel dumps."""
+        import cv2
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        totals: Dict[str, float] = {}
+        styles_acc: List[np.ndarray] = []
+        spaced_acc: List[np.ndarray] = []
+        authors: List[str] = []
+        n = 0
+        rng = np.random.default_rng(0)
+        for i, batch in enumerate(batcher.batches(rng, shuffle=False)):
+            if max_batches is not None and i >= max_batches:
+                break
+            image = jnp.asarray(batch["image"])
+            label = jnp.asarray(batch["label"])
+            lens = jnp.asarray(batch["label_lengths"])
+            # HWR metrics
+            logp = self._recog(self.params, image)
+            preds = ctc_greedy_decode_batch(np.asarray(logp), self.charset)
+            cer, wer = batch_cer_wer(batch["gt"], preds)
+            totals["CER"] = totals.get("CER", 0) + cer
+            totals["WER"] = totals.get("WER", 0) + wer
+            # reconstruction
+            if self.model.cfg.style.kind != "none" and \
+                    self.model.cfg.generator.kind != "none":
+                recon, aux = self._autoencode(
+                    image, label, lens, batch.get("a_batch_size", 1))
+                auto = float(jnp.mean(jnp.abs(recon - image)))
+                totals["autoLoss"] = totals.get("autoLoss", 0) + auto
+                if save_styles:
+                    a = batch.get("a_batch_size", 1)
+                    styles_acc.append(
+                        np.asarray(_flat_style(aux["style"]))[::a])
+                    authors.extend(batch["author"][::a])
+                if save_spaced:
+                    spaced_acc.append(np.asarray(aux["spaced_label"]))
+                if save_images and out_dir:
+                    for b in range(min(4, image.shape[0])):
+                        img = side_by_side(np.asarray(image[b]),
+                                           np.asarray(recon[b]))
+                        cv2.imwrite(os.path.join(
+                            out_dir, f"recon_{i}_{b}.png"), img)
+            n += 1
+        out = {k: v / max(n, 1) for k, v in totals.items()}
+        if save_styles and styles_acc:
+            np.savez_compressed(
+                os.path.join(out_dir or ".", "styles.npz"),
+                styles=np.concatenate(styles_acc), authors=np.array(authors))
+        if save_spaced and spaced_acc and out_dir:
+            np.savez_compressed(os.path.join(out_dir, "spaced.npz"),
+                                *spaced_acc)
+        return out

@@ -1,0 +1,160 @@
+"""Batched style extraction over datasets.
+
+Replaces ``get_styles.py``: iterate a dataset, run ``extract_style`` per
+author group, and store ``{styles, authors, ids}`` to disk.  The reference
+pickles torch tensors (``get_styles.py:41-45``); we store ``.npz`` (and can
+read them back into the by-author dict ``generate.py:212-239`` builds).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handwriting_line_generation_tpu.models.hw_with_style import (
+    HWWithStyle, _flat_style,
+)
+
+
+class StyleExtractor:
+    def __init__(self, model: HWWithStyle, params):
+        self.model = model
+        self.params = params
+        self._fn = None
+
+    def _extract(self, image, a_batch: int):
+        if self._fn is None:
+            self._fn = jax.jit(
+                lambda p, im: self.model.apply(
+                    {"params": p}, im, a_batch, method="extract_style"),
+                static_argnums=())
+        style, pred = self._fn(self.params, image)
+        return _flat_style(style), pred
+
+    def extract_dataset(self, batcher, max_batches: Optional[int] = None,
+                        through_emb: bool = False) -> Dict:
+        """-> {'styles': [N, D], 'authors': [N], 'ids': [N]} (one entry per
+        author group, matching the per-instance loop of
+        ``get_styles.py:175-255``)."""
+        styles, authors, ids = [], [], []
+        rng = np.random.default_rng(0)
+        for i, batch in enumerate(batcher.batches(rng, shuffle=False)):
+            if max_batches is not None and i >= max_batches:
+                break
+            a = batch.get("a_batch_size", 1)
+            style, _ = self._extract(jnp.asarray(batch["image"]), a)
+            s = np.asarray(style)[::a]                  # one per author group
+            styles.append(s)
+            authors.extend(batch["author"][::a])
+            ids.extend([f"{batch['author'][j]}_{i}_{j}"
+                        for j in range(0, len(batch["author"]), a)])
+        return {"styles": np.concatenate(styles, axis=0),
+                "authors": authors, "ids": ids}
+
+
+def save_styles(path: str, data: Dict) -> None:
+    np.savez_compressed(path, styles=data["styles"],
+                        authors=np.array(data["authors"]),
+                        ids=np.array(data["ids"]))
+
+
+def load_styles(path: str) -> Dict:
+    z = np.load(path, allow_pickle=True)
+    return {"styles": z["styles"], "authors": list(z["authors"]),
+            "ids": list(z["ids"])}
+
+
+def styles_by_author(data: Dict) -> Dict[str, np.ndarray]:
+    """Author -> [n_i, D] stack (``generate.py:212-239``)."""
+    by: Dict[str, List[np.ndarray]] = defaultdict(list)
+    for s, a in zip(data["styles"], data["authors"]):
+        by[str(a)].append(s)
+    return {a: np.stack(v) for a, v in by.items()}
+
+
+# --- style-space statistics (play_styles.py / eval_writer_id.py) ----------
+
+
+def inter_intra_distances(data: Dict) -> Dict[str, float]:
+    """Mean/std of inter- vs intra-author style distances
+    (``play_styles.py:25-39``; BASELINE.md rows 1-3)."""
+    styles = np.asarray(data["styles"])
+    authors = np.asarray(data["authors"])
+    d = np.linalg.norm(styles[:, None] - styles[None, :], axis=-1)
+    same = authors[:, None] == authors[None, :]
+    triu = np.triu(np.ones_like(same, bool), 1)
+    intra = d[same & triu]
+    inter = d[~same & triu]
+    return {"intra_mean": float(intra.mean()) if intra.size else 0.0,
+            "intra_std": float(intra.std()) if intra.size else 0.0,
+            "inter_mean": float(inter.mean()) if inter.size else 0.0,
+            "inter_std": float(inter.std()) if inter.size else 0.0}
+
+
+def writer_id_retrieval(data: Dict, metric: str = "l2",
+                        ks: Tuple[int, ...] = (1, 5, 20)) -> Dict[str, float]:
+    """Top-k same-author retrieval + mean rank (``eval_writer_id.py:15-91``)."""
+    styles = np.asarray(data["styles"])
+    authors = np.asarray(data["authors"])
+    n = len(styles)
+    if metric == "l1":
+        d = np.sum(np.abs(styles[:, None] - styles[None, :]), axis=-1)
+    else:
+        d = np.linalg.norm(styles[:, None] - styles[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    order = np.argsort(d, axis=1)
+    same = authors[order] == authors[:, None]
+    out = {}
+    for k in ks:
+        out[f"top{k}"] = float(np.mean(same[:, :k].any(axis=1)))
+    first_hit = np.argmax(same, axis=1)
+    has_hit = same.any(axis=1)
+    out["mean_rank"] = float(np.mean(np.where(has_hit, first_hit, n)))
+    return out
+
+
+def umap_embed(data: Dict, n_components: int = 2) -> np.ndarray:
+    """2-D style embedding for plotting (``umap_styles.py:105-148``).
+
+    Uses UMAP when available; falls back to PCA (numpy SVD) — the plot
+    semantics (per-author coloring) are unchanged.
+    """
+    styles = np.asarray(data["styles"], np.float64)
+    try:
+        import umap                                     # pragma: no cover
+        return umap.UMAP(n_components=n_components).fit_transform(styles)
+    except ImportError:
+        x = styles - styles.mean(0)
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        return x @ vt[:n_components].T
+
+
+def plot_style_map(data: Dict, path: str,
+                   author_mean: bool = False) -> None:
+    """Scatter of the 2-D embedding, per-author colors
+    (``umap_styles.py:56-88``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    if author_mean:
+        by = styles_by_author(data)
+        data = {"styles": np.stack([v.mean(0) for v in by.values()]),
+                "authors": list(by.keys()),
+                "ids": list(by.keys())}
+    emb = umap_embed(data)
+    authors = np.asarray(data["authors"])
+    uniq = sorted(set(map(str, authors)))
+    cmap = plt.get_cmap("tab20")
+    fig, ax = plt.subplots(figsize=(8, 8))
+    for i, a in enumerate(uniq):
+        m = authors == a
+        ax.scatter(emb[m, 0], emb[m, 1], s=12, color=cmap(i % 20), label=a)
+    if len(uniq) <= 20:
+        ax.legend(fontsize=6)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

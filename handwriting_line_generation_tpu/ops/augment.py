@@ -218,7 +218,9 @@ def apply_augmentation(kind: Optional[str], img: jnp.ndarray,
     if not kind:
         return img, fg_mask
     B = img.shape[0]
-    if "affine" in kind:
+    # "augmentation": true in reference configs means brightness+warp
+    # (hw_dataset.py:143-152); strings select specific pipelines
+    if isinstance(kind, str) and "affine" in kind:
         k1, k2 = jax.random.split(rng)
         stretch = jax.random.uniform(k1, (), minval=1 - max_stretch,
                                      maxval=1 + max_stretch)

@@ -1,0 +1,90 @@
+"""Device mesh and sharding.
+
+The reference is single-GPU with zero distributed machinery (SURVEY.md §2.6:
+``README.md:172`` "only single GPU supported", no ``torch.distributed``
+anywhere).  The TPU-native replacement is SPMD data parallelism over a 1-D
+``data`` mesh via ``jax.sharding`` — nothing in the model zoo is large
+enough to need tensor parallelism, so DP over ICI is the faithful and
+sufficient mapping; gradient ``psum``s are inserted by XLA under ``jit``.
+
+* batch tensors are sharded on their leading (batch) axis;
+* params / optimizer / bank state are fully replicated;
+* the curriculum is iteration-indexed and deterministic so every host picks
+  the same lesson with no communication (``curriculum.py:51-55`` analog);
+* multi-host: ``jax.distributed.initialize`` + per-process dataset sharding
+  (shard author groups by ``process_index``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from handwriting_line_generation_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    data = cfg.data if cfg and cfg.data > 0 else n
+    model = cfg.model if cfg else 1
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    dev = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(dev, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Place numeric batch entries with the batch axis over ``data``."""
+    bs = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.device_put(v, bs)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a train-state pytree across the mesh."""
+    rep = replicated(mesh)
+    return jax.device_put(state, rep)
+
+
+def shard_records_for_host(records, n_hosts: Optional[int] = None,
+                           host_id: Optional[int] = None):
+    """Per-process dataset sharding for multi-host input pipelines."""
+    n = n_hosts if n_hosts is not None else jax.process_count()
+    h = host_id if host_id is not None else jax.process_index()
+    return records[h::n]
+
+
+def pad_batch_to_devices(batch: Dict[str, Any], n_devices: int
+                         ) -> Dict[str, Any]:
+    """Pad the batch dim to a multiple of the mesh size (blank-label pads)."""
+    b = batch["image"].shape[0] if "image" in batch else \
+        batch["label"].shape[0]
+    rem = (-b) % n_devices
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1 \
+                and v.shape[0] == b:
+            pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(np.asarray(v), pad)
+        else:
+            out[k] = v
+    return out

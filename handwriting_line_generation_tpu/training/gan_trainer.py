@@ -1,0 +1,516 @@
+"""GAN trainer — the multi-task curriculum core.
+
+Re-design of ``trainer/hw_with_style_trainer.py`` (``run_gen`` :514-892 and
+the balancing ``_train_iteration`` :207-418) around **one jitted step
+function per curriculum lesson signature** (SURVEY.md §7 design stance).
+The paper cycle (``configs/cf_IAMslant_...sMG.json:85-96``) compiles to four
+steps:
+
+  ``count``          — style -> spacer counts vs alignment-decoded GT (MSE)
+  ``gen (no-step)``  — text batch: genRecog CTC + generator adversarial
+                       loss; the two gradient pytrees are **saved** in the
+                       train state (the reference's ``saved_grads``,
+                       :300-338), no optimizer update
+  ``auto, auto-gen`` — image batch: autoencode; main loss = fg-masked L1 +
+                       perceptual (frozen encoder); plus recon adversarial +
+                       reconRecog groups; all four saved/fresh gradient
+                       groups are rescaled by ``x * mean|D|/mean|R|``
+                       (:340-377, arXiv:1903.00277) and merged into the main
+                       update; styles pushed to the interpolation bank
+  ``disc``           — hinge loss on real vs generated, discriminator
+                       optimizer; spectral-norm power-iteration state
+                       advances here and in every D forward
+
+Static-shape notes: the spaced length for generated images always equals
+``W/4`` of the batch's width bucket, so real/fake widths match with zero
+padding fix-ups; gen-only text batches use a configured static spaced
+length.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from handwriting_line_generation_tpu.charset import ctc_greedy_decode_batch
+from handwriting_line_generation_tpu.config import Config
+from handwriting_line_generation_tpu.data.datasets import (
+    forever, get_charset, make_batcher,
+)
+from handwriting_line_generation_tpu.data.text_data import TextSampler
+from handwriting_line_generation_tpu.models.autoencoder import build_encoder
+from handwriting_line_generation_tpu.models.hw_with_style import (
+    HWWithStyle, _flat_style,
+)
+from handwriting_line_generation_tpu.ops.augment import apply_augmentation
+from handwriting_line_generation_tpu.ops.align import viterbi_align
+from handwriting_line_generation_tpu.ops.ctc import ctc_loss
+from handwriting_line_generation_tpu.ops.spacing import counts_from_spaced, onehot
+from handwriting_line_generation_tpu.training.curriculum import Curriculum
+from handwriting_line_generation_tpu.training.losses import (
+    disc_hinge_loss, gen_adv_loss,
+)
+from handwriting_line_generation_tpu.training.train_state import (
+    GanTrainState, balance_and_merge, bank_push, bank_sample,
+    create_gan_state, multipliers_at, zeros_like_grads,
+)
+from handwriting_line_generation_tpu.utils.checkpoint import (
+    CheckpointManager, extract_subtree, load_checkpoint,
+)
+from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
+from handwriting_line_generation_tpu.utils.train_log import TrainLog
+
+
+@dataclass(eq=False)   # identity hash: jit caches per trainer instance
+class GanTrainer:
+    cfg: Config
+
+    def __post_init__(self):
+        c = self.cfg
+        self.charset = get_charset(c.data)
+        c.model.num_class = self.charset.num_class
+        self.model = HWWithStyle(c.model)
+        self.curriculum = Curriculum(c.trainer.curriculum)
+        lw = c.trainer.loss_weights
+        self.w = {
+            "auto": lw.get("auto", 0.5),
+            "perceptual": lw.get("perceptual", 0.5),
+            "count": lw.get("count", 0.5),
+            "reconRecog": lw.get("reconRecog", 1e-6),
+            "genRecog": lw.get("genRecog", 1e-4),
+            "discriminator": lw.get("discriminator", 1.0),
+            "generator": lw.get("generator", 1.0),
+        }
+        self.use_perceptual = "perceptual" in (c.trainer.loss or
+                                               {"perceptual": 1})
+        self.no_bg_loss = c.trainer.no_bg_loss
+        il = c.trainer.interpolate_gen_styles
+        if isinstance(il, str) and il.startswith("extra-"):
+            extra = float(il[6:])
+            self.interp_low, self.interp_high = -extra, 1.0 + extra
+        else:
+            self.interp_low, self.interp_high = 0.0, 1.0
+        # frozen perceptual encoder (hw_with_style_trainer.py:135-160)
+        self.encoder = build_encoder(c.trainer.encoder_type)
+        self.encoder_params = None
+        self.main_tx = self.disc_tx = None
+        self.balance = bool(c.trainer.balance_loss)
+        self.gen_spaced_len = min(c.model.max_gen_length,
+                                  max(c.data.label_buckets) * 6)
+        self.text = TextSampler(
+            self.charset,
+            batch_size=c.data.batch_size * c.data.a_batch_size,
+            corpus_path=(c.data.text_data
+                         if c.data.text_data and
+                         __import__("os").path.exists(c.data.text_data)
+                         else None),
+            max_len=c.trainer.text_data_max_len or max(c.data.label_buckets),
+            seed=c.trainer.seed)
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def init_state(self, sample_batch: Dict, seed: int = 0) -> GanTrainState:
+        c = self.cfg
+        rng = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        image = jnp.asarray(sample_batch["image"])
+        label = jnp.asarray(sample_batch["label"])
+        lens = jnp.asarray(sample_batch["label_lengths"])
+        a_batch = sample_batch.get("a_batch_size", 1)
+        spaced_len = image.shape[2] // 4
+        variables = jax.jit(
+            lambda rngs, im, lb, ln: self.model.init(
+                rngs, im, lb, ln, a_batch, spaced_len=spaced_len,
+                method="init_all")
+        )({"params": k1, "noise": k2}, image, label, lens)
+        variables = dict(variables)
+        # pretrained HWR surgery (hw_with_style.py:166-178)
+        if c.model.pretrained_hwr:
+            import os
+            d, n = os.path.split(c.model.pretrained_hwr)
+            hwr_tmpl = {"params": variables["params"]["hwr"]}
+            try:
+                loaded = load_checkpoint(d, n.replace(".msgpack", ""),
+                                         {"params": hwr_tmpl["params"],
+                                          "_rest": None})
+                variables["params"]["hwr"] = loaded["params"]
+            except Exception:
+                loaded = load_checkpoint(d, n.replace(".msgpack", ""),
+                                         hwr_tmpl)
+                variables["params"]["hwr"] = loaded["params"]
+        if self.encoder_params is None:
+            self.encoder_params = self.encoder.init(k3, image[:1])
+        state, self.main_tx, self.disc_tx = create_gan_state(
+            c, variables, jax.random.PRNGKey(seed + 1))
+        return state
+
+    def load_encoder_weights(self, directory: str, name: str) -> None:
+        """Prefix-scoped perceptual-encoder restore from an AE checkpoint."""
+        from handwriting_line_generation_tpu.training.auto_trainer import \
+            AutoState  # noqa: F401
+        tmpl = {"step": np.zeros((), np.int32),
+                "params": None, "opt_state": None, "rng": None}
+        import flax.serialization as ser
+        import os
+        with open(os.path.join(directory, name + ".msgpack"), "rb") as f:
+            raw = ser.msgpack_restore(f.read())
+        enc = raw["params"]["params"]["encoder"]
+        self.encoder_params = {"params": enc}
+
+    # ------------------------------------------------------------------
+    # shared pieces
+    # ------------------------------------------------------------------
+
+    def _apply(self, params, spectral, method, *args, rngs=None, **kw):
+        variables = {"params": params, "spectral": spectral}
+        out, new_vars = self.model.apply(
+            variables, *args, method=method, mutable=["spectral"],
+            rngs=rngs, **kw)
+        return out, new_vars.get("spectral", spectral)
+
+    def _ctc(self, logp, label, lens, weight):
+        B, T = logp.shape[0], logp.shape[1]
+        ilens = jnp.full((B,), T, jnp.int32)
+        return weight * ctc_loss(logp, label, ilens, lens)
+
+    def _perceptual(self, image, recon):
+        both = jnp.concatenate([image, recon], axis=0)
+        bott, mid = self.encoder.apply(self.encoder_params, both)
+        loss = 0.0
+        for f in (bott, mid):
+            o, r = jnp.split(f, 2, axis=0)
+            loss = loss + jnp.mean(jnp.abs(o - r))
+        return loss
+
+    # ------------------------------------------------------------------
+    # lesson steps
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=1)
+    def step_count(self, state: GanTrainState, image, label, lens,
+                   a_batch: int) -> Tuple[GanTrainState, Dict]:
+        """Lesson ["count"] (hw_with_style_trainer.py:616-719)."""
+        rng, aug_key = jax.random.split(state.rng)
+        image, _ = apply_augmentation(self.cfg.data.augmentation, image,
+                                      None, aug_key)
+
+        def loss_fn(params):
+            pred = jax.lax.stop_gradient(
+                self.model.apply({"params": params}, image,
+                                 method="recognize"))
+            style, _ = self.model.apply(
+                {"params": params}, image, a_batch, pred,
+                method="extract_style")
+            style = _flat_style(style)
+            if self.cfg.trainer.style_detach:
+                style = jax.lax.stop_gradient(style)
+            spaced_label = viterbi_align(pred, label, lens)
+            gt_counts, n_rec = counts_from_spaced(spaced_label,
+                                                  label.shape[1])
+            counts = self.model.apply(
+                {"params": params},
+                onehot(label, self.cfg.model.num_class), style,
+                method=lambda m, oh, s: m.spacer(oh, s))
+            mask = (jnp.arange(label.shape[1])[None, :]
+                    < jnp.minimum(n_rec, lens)[:, None])[..., None]
+            counts_m = jnp.where(mask, counts, 0.0)
+            gt_m = jnp.where(mask, gt_counts, 0.0)
+            loss = self.w["count"] * jnp.mean((counts_m - gt_m) ** 2)
+            return loss, {"countLoss": loss}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_main = self.main_tx.update(grads, state.opt_main,
+                                                state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_main=opt_main, rng=rng), aux
+
+    @partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
+    def step_gen_nostep(self, state: GanTrainState, label, lens,
+                        spaced_len: int) -> Tuple[GanTrainState, Dict]:
+        """Lesson ["no-step", "gen"]: save genRecog + genAdv grad groups."""
+        rng, krng, nrng, srng = jax.random.split(state.rng, 4)
+        B = label.shape[0]
+        style_gen = bank_sample(state.style_bank, state.bank_count, srng,
+                                B, self.interp_low, self.interp_high,
+                                self.cfg.model.style.style_dim)
+
+        def recog_loss_fn(params):
+            img, _ = self._gen_image(params, state.spectral, label, lens,
+                                     style_gen, krng, nrng, spaced_len)
+            logp = self.model.apply({"params": params}, img,
+                                    method="recognize")
+            return self._ctc(logp, label, lens, self.w["genRecog"])
+
+        def adv_loss_fn(params):
+            img, _ = self._gen_image(params, state.spectral, label, lens,
+                                     style_gen, krng, nrng, spaced_len)
+            scores, spec = self._apply(params, state.spectral,
+                                       "discriminate", img)
+            return self.w["generator"] * gen_adv_loss(scores), spec
+
+        recog_l, recog_g = jax.value_and_grad(recog_loss_fn)(state.params)
+        (adv_l, spec), adv_g = jax.value_and_grad(adv_loss_fn, has_aux=True)(
+            state.params)
+        return state.replace(
+            step=state.step + 1, rng=rng, spectral=spec,
+            saved_recog=recog_g, saved_adv=adv_g,
+            have_saved=jnp.ones((), jnp.bool_)), \
+            {"genRecogLoss": recog_l, "generatorLoss": adv_l}
+
+    def _gen_image(self, params, spectral, label, lens, style, count_rng,
+                   noise_rng, spaced_len):
+        img, aux = self.model.apply(
+            {"params": params}, label, lens, style, count_rng,
+            spaced_len=spaced_len, method="generate",
+            rngs={"noise": noise_rng})
+        return img, aux
+
+    @partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
+    def step_auto(self, state: GanTrainState, image, label, lens, fg_mask,
+                  a_batch: int) -> Tuple[GanTrainState, Dict]:
+        """Lesson ["auto", "auto-gen"]: main + adversarial + recog groups,
+        balance-merged with the saved no-step groups."""
+        rng, aug_key, nrng = jax.random.split(state.rng, 3)
+        image, fg_mask = apply_augmentation(self.cfg.data.augmentation,
+                                            image, fg_mask, aug_key)
+
+        def autoencode(params):
+            recon, aux = self.model.apply(
+                {"params": params}, image, label, lens, a_batch,
+                method="autoencode", rngs={"noise": nrng})
+            return recon, aux
+
+        def main_loss_fn(params):
+            recon, aux = autoencode(params)
+            if self.no_bg_loss and fg_mask is not None:
+                auto = jnp.mean(jnp.abs(recon * fg_mask - image * fg_mask))
+            else:
+                auto = jnp.mean(jnp.abs(recon - image))
+            loss = self.w["auto"] * auto
+            logs = {"autoLoss": auto}
+            if self.use_perceptual:
+                perc = self._perceptual(image, recon)
+                loss = loss + self.w["perceptual"] * perc
+                logs["perceptualLoss"] = perc
+            return loss, (logs, recon, aux)
+
+        def adv_loss_fn(params):
+            recon, _ = autoencode(params)
+            scores, spec = self._apply(params, state.spectral,
+                                       "discriminate", recon)
+            return self.w["generator"] * gen_adv_loss(scores), spec
+
+        def recog_loss_fn(params):
+            recon, _ = autoencode(params)
+            logp = self.model.apply({"params": params}, recon,
+                                    method="recognize")
+            return self._ctc(logp, label, lens, self.w["reconRecog"])
+
+        (main_l, (logs, recon, aux)), main_g = jax.value_and_grad(
+            main_loss_fn, has_aux=True)(state.params)
+        (adv_l, spec), adv_g = jax.value_and_grad(adv_loss_fn, has_aux=True)(
+            state.params)
+        recog_l, recog_g = jax.value_and_grad(recog_loss_fn)(state.params)
+
+        if self.balance:
+            # multipliers are trace-time constants; the paper schedule has a
+            # single "0" stage — multi-stage schedules would need a re-jit
+            # keyed on the active stage (trainer:361-366)
+            mults = multipliers_at(self.cfg.trainer.balance_var_x, 0)
+            saved_recog = jax.tree_util.tree_map(
+                lambda g: jnp.where(state.have_saved, g, 0.0),
+                state.saved_recog)
+            saved_adv = jax.tree_util.tree_map(
+                lambda g: jnp.where(state.have_saved, g, 0.0),
+                state.saved_adv)
+            # order: genRecog, genAdv, autoGenAdv, reconRecog
+            # (hw_with_style_trainer.py:300-322 append order)
+            mults = (mults + [1.0] * 4)[:4]
+            merged = balance_and_merge(
+                main_g, [saved_recog, saved_adv, adv_g, recog_g], mults)
+        else:
+            saved = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(state.have_saved, a + b, 0.0),
+                state.saved_recog, state.saved_adv)
+            merged = jax.tree_util.tree_map(
+                lambda a, b, c_, d: a + b + c_ + d,
+                main_g, adv_g, recog_g, saved)
+
+        updates, opt_main = self.main_tx.update(merged, state.opt_main,
+                                                state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        # push one style per author group to the bank (trainer:548-551)
+        styles = _flat_style(aux["style"])[::a_batch]
+        bank, count = bank_push(state.style_bank, state.bank_count,
+                                jax.lax.stop_gradient(styles))
+        new = state.replace(
+            step=state.step + 1, params=params, opt_main=opt_main,
+            spectral=spec, rng=rng, style_bank=bank, bank_count=count,
+            saved_recog=zeros_like_grads(state.params),
+            saved_adv=zeros_like_grads(state.params),
+            have_saved=jnp.zeros((), jnp.bool_))
+        return new, {**logs, "autoGenLoss": adv_l, "reconRecogLoss": recog_l}
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def step_disc(self, state: GanTrainState, image, label, lens
+                  ) -> Tuple[GanTrainState, Dict]:
+        """Lesson ["disc"]: hinge on real vs generated (trainer:788-806)."""
+        rng, aug_key, krng, nrng, srng = jax.random.split(state.rng, 5)
+        image, _ = apply_augmentation(self.cfg.data.augmentation, image,
+                                      None, aug_key)
+        B = label.shape[0]
+        spaced_len = image.shape[2] // 4
+        style_gen = bank_sample(state.style_bank, state.bank_count, srng,
+                                B, self.interp_low, self.interp_high,
+                                self.cfg.model.style.style_dim)
+        fake, _ = self._gen_image(state.params, state.spectral, label, lens,
+                                  style_gen, krng, nrng, spaced_len)
+        fake = jax.lax.stop_gradient(fake)
+
+        def loss_fn(params):
+            both = jnp.concatenate([image, fake], axis=0)
+            scores, spec = self._apply(params, state.spectral,
+                                       "discriminate", both)
+            real_s = [s[:B] for s in scores]
+            fake_s = [s[B:] for s in scores]
+            loss = self.w["discriminator"] * disc_hinge_loss(real_s, fake_s)
+            return loss, spec
+
+        (loss, spec), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_disc = self.disc_tx.update(grads, state.opt_disc,
+                                                state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_disc=opt_disc, spectral=spec, rng=rng), \
+            {"discriminatorLoss": loss}
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def eval_step(self, state: GanTrainState, image, label, lens,
+                  a_batch: int) -> Dict:
+        """Validation losses for the curriculum's valid tags
+        (trainer:437-486)."""
+        recon, aux = self.model.apply(
+            {"params": state.params}, image, label, lens, a_batch,
+            method="autoencode", rngs={"noise": jax.random.PRNGKey(0)})
+        auto = jnp.mean(jnp.abs(recon - image))
+        out = {"val_autoLoss": auto}
+        if self.use_perceptual and self.encoder_params is not None:
+            out["val_perceptualLoss"] = self._perceptual(image, recon)
+        pred = aux["pred"]
+        gt_counts, n_rec = counts_from_spaced(aux["spaced_label"],
+                                              label.shape[1])
+        style = _flat_style(aux["style"])
+        counts = self.model.apply(
+            {"params": state.params},
+            onehot(label, self.cfg.model.num_class), style,
+            method=lambda m, oh, s: m.spacer(oh, s))
+        mask = (jnp.arange(label.shape[1])[None, :]
+                < jnp.minimum(n_rec, lens)[:, None])[..., None]
+        out["val_countLoss"] = jnp.mean(
+            (jnp.where(mask, counts, 0.0) - jnp.where(mask, gt_counts, 0.0))
+            ** 2)
+        out["recon"] = recon
+        return out
+
+    # ------------------------------------------------------------------
+    # loop
+    # ------------------------------------------------------------------
+
+    def train(self, iterations: Optional[int] = None,
+              log_every: Optional[int] = None,
+              val_every: Optional[int] = None, val_batches: int = 5,
+              on_log=None) -> TrainLog:
+        c = self.cfg
+        iterations = iterations or c.trainer.iterations
+        log_every = log_every or c.trainer.log_step
+        val_every = c.trainer.val_step if val_every is None else val_every
+        train_b = make_batcher(c.data, "train")
+        valid_b = make_batcher(c.data, "valid")
+        it = forever(train_b, seed=c.trainer.seed)
+        log = TrainLog(window=log_every)
+        ckpt = CheckpointManager(f"{c.trainer.save_dir}/{c.name}",
+                                 c.trainer.save_step, c.trainer.save_step_minor)
+        first = next(it)
+        self.state = self.init_state(first, seed=c.trainer.seed)
+        if ckpt.has_latest():
+            self.state = ckpt.latest(self.state)
+
+        start = int(self.state.step)
+        for i in range(start, iterations):
+            lesson = self.curriculum.get_lesson(i)
+            out = self.run_lesson(lesson, it)
+            log.step({k: float(v) for k, v in out.items()})
+            if (i + 1) % log_every == 0:
+                entry = log.record(i + 1)
+                if on_log:
+                    on_log(entry)
+            if val_every and (i + 1) % val_every == 0:
+                val = self.validate(valid_b, val_batches)
+                log.record(i + 1, val)
+                if on_log:
+                    on_log(val)
+            ckpt.maybe_save(i + 1, self.state, {"name": c.name})
+        return log
+
+    def run_lesson(self, lesson: List[str], data_iter: Iterator) -> Dict:
+        gen_only = all(l[:3] == "gen" or l == "no-step" for l in lesson)
+        if gen_only:
+            tb = self.text.get_batch(label_len=max(
+                self.cfg.data.label_buckets))
+            label = jnp.asarray(tb["label"])
+            lens = jnp.asarray(tb["label_lengths"])
+            self.state, out = self.step_gen_nostep(
+                self.state, label, lens, self.gen_spaced_len)
+            return out
+        batch = next(data_iter)
+        image = jnp.asarray(batch["image"])
+        label = jnp.asarray(batch["label"])
+        lens = jnp.asarray(batch["label_lengths"])
+        a_batch = batch.get("a_batch_size", 1)
+        if "count" in lesson:
+            self.state, out = self.step_count(self.state, image, label,
+                                              lens, a_batch)
+        elif "auto" in lesson:
+            fg = jnp.asarray(batch["fg_mask"]) if "fg_mask" in batch else None
+            self.state, out = self.step_auto(self.state, image, label, lens,
+                                             fg, a_batch)
+        elif "disc" in lesson:
+            self.state, out = self.step_disc(self.state, image, label, lens)
+        else:
+            raise ValueError(f"no step for lesson {lesson}")
+        return out
+
+    def validate(self, batcher, max_batches: Optional[int] = None) -> Dict:
+        totals: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(batcher.batches(np.random.default_rng(0),
+                                                  shuffle=False)):
+            if max_batches is not None and i >= max_batches:
+                break
+            out = self.eval_step(self.state, jnp.asarray(batch["image"]),
+                                 jnp.asarray(batch["label"]),
+                                 jnp.asarray(batch["label_lengths"]),
+                                 batch.get("a_batch_size", 1))
+            for k, v in out.items():
+                if k == "recon":
+                    continue
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in totals.items()}

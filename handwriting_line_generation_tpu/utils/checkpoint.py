@@ -1,0 +1,114 @@
+"""Checkpointing.
+
+Re-design of the reference checkpoint format (``base/base_trainer.py:
+340-479``; layout documented in SURVEY.md §5.4): a checkpoint carries the
+iteration, model params (and mutable collections), optimizer states, the
+training log, and the config.  Files: ``checkpoint-iteration{N}`` every
+``save_step``, ``checkpoint-latest`` every ``save_step_minor``, and
+``model_best`` on monitored improvement.
+
+The reference's *sub-model weight surgery by key prefix* (loading a
+pretrained HWR into the composite by stripping the ``hwr.`` prefix,
+``model/hw_with_style.py:166-178``; the perceptual encoder by ``encoder.``,
+``trainer/hw_with_style_trainer.py:136-158``) maps to
+:func:`extract_subtree` / :func:`graft_subtree` on the nested param dict.
+
+Serialization: ``flax.serialization`` msgpack for pytrees + a JSON sidecar
+for metadata — no pickle, no torch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(directory: str, name: str, pytree: Any,
+                    meta: Optional[Dict] = None) -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, name + ".msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(_to_numpy(pytree)))
+    os.replace(tmp, path)                      # atomic: no torn checkpoints
+    if meta is not None:
+        mpath = os.path.join(directory, name + ".json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+        os.replace(mpath + ".tmp", mpath)
+    return path
+
+
+def load_checkpoint(directory: str, name: str, template: Any) -> Any:
+    """Restore into the structure of ``template`` (shapes must match)."""
+    path = os.path.join(directory, name + ".msgpack")
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def load_meta(directory: str, name: str) -> Dict:
+    with open(os.path.join(directory, name + ".json")) as f:
+        return json.load(f)
+
+
+def checkpoint_exists(directory: str, name: str) -> bool:
+    return os.path.exists(os.path.join(directory, name + ".msgpack"))
+
+
+def extract_subtree(params: Dict, prefix: str) -> Dict:
+    """``params['hwr']``-style extraction; raises KeyError if absent."""
+    node = params
+    for part in prefix.split("/"):
+        node = node[part]
+    return node
+
+
+def graft_subtree(params: Dict, prefix: str, subtree: Dict) -> Dict:
+    """Return params with ``prefix`` replaced by ``subtree`` (pure)."""
+    def rec(node, parts):
+        if len(parts) == 0:
+            return subtree
+        out = dict(node)
+        out[parts[0]] = rec(node[parts[0]], parts[1:])
+        return out
+
+    return rec(params, prefix.split("/"))
+
+
+class CheckpointManager:
+    """save_step / save_step_minor / best-model policy
+    (``base_trainer.py:374-399``)."""
+
+    def __init__(self, directory: str, save_step: int = 25000,
+                 save_step_minor: int = 250):
+        self.directory = directory
+        self.save_step = save_step
+        self.save_step_minor = save_step_minor
+        self.best = float("inf")
+
+    def maybe_save(self, iteration: int, pytree: Any, meta: Dict,
+                   monitor_value: Optional[float] = None) -> None:
+        meta = dict(meta, iteration=iteration)
+        if self.save_step and iteration % self.save_step == 0:
+            save_checkpoint(self.directory,
+                            f"checkpoint-iteration{iteration}", pytree, meta)
+        if self.save_step_minor and iteration % self.save_step_minor == 0:
+            save_checkpoint(self.directory, "checkpoint-latest", pytree, meta)
+        if monitor_value is not None and monitor_value < self.best:
+            self.best = monitor_value
+            save_checkpoint(self.directory, "model_best", pytree, meta)
+
+    def latest(self, template: Any):
+        return load_checkpoint(self.directory, "checkpoint-latest", template)
+
+    def has_latest(self) -> bool:
+        return checkpoint_exists(self.directory, "checkpoint-latest")

@@ -1,0 +1,77 @@
+"""Training log.
+
+Replaces ``logger/logger.py`` + the rolling-average console logging of
+``base_trainer.py:229-311`` and the post-hoc curve plotting of ``graph.py``:
+periodic entries keyed by iteration, JSON-serializable, with CSV/plot
+export.  Includes the ``sec_per_iter`` telemetry the reference logs
+(``base_trainer.py:229-231``) — SURVEY.md §5.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict, deque
+from typing import Dict, List, Optional
+
+
+class TrainLog:
+    def __init__(self, window: int = 250):
+        self.entries: List[Dict] = []
+        self.window = window
+        self._rolling = defaultdict(lambda: deque(maxlen=window))
+        self._last_t: Optional[float] = None
+
+    def step(self, metrics: Dict[str, float]) -> None:
+        now = time.perf_counter()
+        if self._last_t is not None:
+            self._rolling["sec_per_iter"].append(now - self._last_t)
+        self._last_t = now
+        for k, v in metrics.items():
+            self._rolling[k].append(float(v))
+
+    def averages(self) -> Dict[str, float]:
+        return {k: sum(v) / len(v) for k, v in self._rolling.items() if v}
+
+    def record(self, iteration: int, extra: Optional[Dict] = None) -> Dict:
+        entry = {"iteration": iteration, **self.averages(), **(extra or {})}
+        self.entries.append(entry)
+        return entry
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.entries, f)
+
+    @staticmethod
+    def load(path: str) -> "TrainLog":
+        log = TrainLog()
+        with open(path) as f:
+            log.entries = json.load(f)
+        return log
+
+    def export_csv(self, path: str) -> None:
+        keys = sorted({k for e in self.entries for k in e})
+        with open(path, "w") as f:
+            f.write(",".join(keys) + "\n")
+            for e in self.entries:
+                f.write(",".join(str(e.get(k, "")) for k in keys) + "\n")
+
+    def plot(self, path: str, keys: Optional[List[str]] = None) -> None:
+        """Loss-curve PNG export (replaces ``graph.py:18-96``)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        keys = keys or sorted({k for e in self.entries
+                               for k in e if k != "iteration"})
+        fig, ax = plt.subplots(figsize=(10, 6))
+        for k in keys:
+            xs = [e["iteration"] for e in self.entries if k in e]
+            ys = [e[k] for e in self.entries if k in e]
+            if xs:
+                ax.plot(xs, ys, label=k)
+        ax.set_xlabel("iteration")
+        ax.legend(fontsize=7)
+        fig.savefig(path, dpi=100)
+        plt.close(fig)

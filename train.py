@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Counterpart of the reference's ``train.py`` (argparse + config + resume
+semantics, ``train.py:84-134``): ``python train.py -c config.json
+[-r] [-i N]``.  The config may be in our schema or the reference's schema
+(auto-detected, including the published ``configs/cf_*.json`` files).
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("-r", "--resume", action="store_true",
+                    help="resume from checkpoint-latest if present "
+                         "(soft-resume: starts fresh when absent)")
+    ap.add_argument("-i", "--iterations", type=int, default=None,
+                    help="override iteration budget")
+    ap.add_argument("--dataset", default=None,
+                    help="override dataset (e.g. 'synthetic' for smoke runs)")
+    ap.add_argument("--save-dir", default=None)
+    args = ap.parse_args()
+
+    from handwriting_line_generation_tpu.config import load_config
+    cfg = load_config(args.config)
+    if args.dataset:
+        cfg.data.dataset = args.dataset
+    if args.save_dir:
+        cfg.trainer.save_dir = args.save_dir
+    if args.iterations:
+        cfg.trainer.iterations = args.iterations
+
+    def log(entry):
+        print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
+                          for k, v in entry.items()}), flush=True)
+
+    kind = cfg.trainer.kind
+    if kind == "hwr":
+        from handwriting_line_generation_tpu.training.hwr_trainer import \
+            HWRTrainer
+        trainer = HWRTrainer(cfg)
+    elif kind == "auto":
+        from handwriting_line_generation_tpu.training.auto_trainer import \
+            AutoTrainer
+        trainer = AutoTrainer(cfg)
+    else:
+        from handwriting_line_generation_tpu.training.gan_trainer import \
+            GanTrainer
+        trainer = GanTrainer(cfg)
+    print(f"training '{cfg.name}' ({kind}) for "
+          f"{cfg.trainer.iterations} iterations", flush=True)
+    trainer.train(on_log=log)
+
+
+if __name__ == "__main__":
+    main()
