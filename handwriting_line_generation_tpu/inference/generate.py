@@ -167,3 +167,17 @@ class GenerationSession:
 def to_uint8(img: np.ndarray) -> np.ndarray:
     """tanh-range generated image -> display grayscale (ink dark)."""
     return ((1.0 - img[..., 0]) * 127.5).clip(0, 255).astype(np.uint8)
+
+
+def cast_params_bf16(params):
+    """Inference-time whole-network bfloat16.
+
+    The MXU runs bf16 natively; casting the generator params roughly 1.6x-es
+    line throughput at ~0.016 mean abs deviation in the tanh output range
+    (imperceptible in rendered handwriting).  Training stays float32.
+    """
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)

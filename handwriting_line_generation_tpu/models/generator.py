@@ -16,7 +16,7 @@ exactly ``4 * T``.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -93,9 +93,12 @@ class SpacedGenerator(nn.Module):
     append_style: bool = True
     emb_dropout: float = 0.0
     small: bool = False
+    dtype: Any = jnp.float32      # activation dtype; bfloat16 for inference
 
     @nn.compact
     def __call__(self, spaced_onehot, style, deterministic: bool = True):
+        style = style.astype(self.dtype)
+        spaced_onehot = spaced_onehot.astype(self.dtype)
         style = StyleMLP(self.style_dim, self.n_style_trans,
                          self.emb_dropout)(style, deterministic)
         x = spaced_onehot[:, None, :, :]                     # [B, 1, T, C]
@@ -112,4 +115,4 @@ class SpacedGenerator(nn.Module):
         x = StyledConvBlock(d // 16, upsample=not self.small,
                             fused=True)(x, style)                         # H64 W4T
         x = EqualConv(1, kernel=(1, 1))(x)
-        return jnp.tanh(x)
+        return jnp.tanh(x).astype(jnp.float32)

@@ -140,7 +140,7 @@ class EqualDense(nn.Module):
         w = self.param("kernel", nn.initializers.normal(1.0), (in_f, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         scale = math.sqrt(2.0 / in_f)
-        return x @ (w * scale) + b
+        return x @ (w * scale).astype(x.dtype) + b.astype(x.dtype)
 
 
 class EqualConv(nn.Module):
@@ -159,9 +159,10 @@ class EqualConv(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         scale = math.sqrt(2.0 / (in_f * kh * kw))
         y = jax.lax.conv_general_dilated(
-            x, w * scale, window_strides=self.stride, padding=self.padding,
+            x, (w * scale).astype(x.dtype), window_strides=self.stride,
+            padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b
+        return y + b.astype(x.dtype)
 
 
 class AdaIN(nn.Module):
@@ -191,7 +192,7 @@ class NoiseInjection(nn.Module):
         # reference wraps NoiseInjection in equal_lr: effective weight is
         # w * sqrt(2 / fan_in) with fan_in = 1*1*1 = 1 -> sqrt(2)
         noise = jax.random.normal(rng, x.shape[:3] + (1,), x.dtype)
-        return x + (w * math.sqrt(2.0)) * noise
+        return x + (w * math.sqrt(2.0)).astype(x.dtype) * noise
 
 
 _BLUR_KERNEL = jnp.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
@@ -233,9 +234,9 @@ class FusedUpsample(nn.Module):
         # needs pl+ph = k-1 = 3 to preserve the width exactly.
         pad = ((2, 2), (1, 2)) if self.only_vertical else ((2, 2), (2, 2))
         y = jax.lax.conv_transpose(
-            x, w4, strides=stride, padding=pad,
+            x, w4.astype(x.dtype), strides=stride, padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b
+        return y + b.astype(x.dtype)
 
 
 def upsample_nearest(x: jnp.ndarray, scale: Tuple[int, int]) -> jnp.ndarray:
