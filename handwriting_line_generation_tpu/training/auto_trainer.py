@@ -24,7 +24,7 @@ from handwriting_line_generation_tpu.data.datasets import (
     forever, get_charset, make_batcher,
 )
 from handwriting_line_generation_tpu.models.autoencoder import Autoencoder
-from handwriting_line_generation_tpu.ops.ctc import ctc_loss
+from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
 from handwriting_line_generation_tpu.utils.checkpoint import CheckpointManager
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
@@ -70,9 +70,7 @@ class AutoTrainer:
                 params, image, deterministic=False,
                 rngs={"dropout": drop_key})
             auto = jnp.mean(jnp.abs(recon - image))
-            T = logp.shape[1]
-            ilens = jnp.full((logp.shape[0],), T, jnp.int32)
-            recog = ctc_loss(logp, label, ilens, label_lengths)
+            recog = ctc_loss_fast(logp, label, label_lengths)
             loss = self.w_auto * auto + self.w_recog * recog
             return loss, {"autoLoss": auto, "recogLoss": recog, "logp": logp}
 
@@ -89,9 +87,7 @@ class AutoTrainer:
     def eval_step(self, state: AutoState, image, label, label_lengths):
         recon, logp = self.model.apply(state.params, image)
         auto = jnp.mean(jnp.abs(recon - image))
-        T = logp.shape[1]
-        ilens = jnp.full((logp.shape[0],), T, jnp.int32)
-        recog = ctc_loss(logp, label, ilens, label_lengths)
+        recog = ctc_loss_fast(logp, label, label_lengths)
         return {"val_autoLoss": auto, "val_recogLoss": recog,
                 "recon": recon, "logp": logp}
 

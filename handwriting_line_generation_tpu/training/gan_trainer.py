@@ -49,7 +49,7 @@ from handwriting_line_generation_tpu.models.hw_with_style import (
 )
 from handwriting_line_generation_tpu.ops.augment import apply_augmentation
 from handwriting_line_generation_tpu.ops.align import viterbi_align
-from handwriting_line_generation_tpu.ops.ctc import ctc_loss
+from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
 from handwriting_line_generation_tpu.ops.spacing import counts_from_spaced, onehot
 from handwriting_line_generation_tpu.training.curriculum import Curriculum
 from handwriting_line_generation_tpu.training.losses import (
@@ -176,9 +176,7 @@ class GanTrainer:
         return out, new_vars.get("spectral", spectral)
 
     def _ctc(self, logp, label, lens, weight):
-        B, T = logp.shape[0], logp.shape[1]
-        ilens = jnp.full((B,), T, jnp.int32)
-        return weight * ctc_loss(logp, label, ilens, lens)
+        return weight * ctc_loss_fast(logp, label, lens)
 
     def _perceptual(self, image, recon):
         both = jnp.concatenate([image, recon], axis=0)

@@ -30,7 +30,7 @@ from handwriting_line_generation_tpu.data.datasets import (
 )
 from handwriting_line_generation_tpu.models.hwr import build_hwr
 from handwriting_line_generation_tpu.ops.augment import apply_augmentation
-from handwriting_line_generation_tpu.ops.ctc import ctc_loss
+from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
 from handwriting_line_generation_tpu.utils.checkpoint import CheckpointManager
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
@@ -80,9 +80,7 @@ class HWRTrainer:
             img, _ = apply_augmentation(self.augmentation, image, None,
                                         aug_key)
             logp = self.model.apply(params, img)
-            T = logp.shape[1]
-            ilens = jnp.full((logp.shape[0],), T, jnp.int32)
-            loss = ctc_loss(logp, label, ilens, label_lengths)
+            loss = ctc_loss_fast(logp, label, label_lengths)
             return loss, logp
 
         (loss, logp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -97,9 +95,7 @@ class HWRTrainer:
     @partial(jax.jit, static_argnums=0)
     def eval_step(self, state: HWRState, image, label, label_lengths):
         logp = self.model.apply(state.params, image)
-        T = logp.shape[1]
-        ilens = jnp.full((logp.shape[0],), T, jnp.int32)
-        loss = ctc_loss(logp, label, ilens, label_lengths)
+        loss = ctc_loss_fast(logp, label, label_lengths)
         return loss, logp
 
     # -- loops ---------------------------------------------------------
