@@ -434,7 +434,8 @@ class GanTrainer:
     def train(self, iterations: Optional[int] = None,
               log_every: Optional[int] = None,
               val_every: Optional[int] = None, val_batches: int = 5,
-              on_log=None) -> TrainLog:
+              on_log=None, mesh=None) -> TrainLog:
+        """Curriculum loop; pass a ``Mesh`` for data-parallel SPMD."""
         c = self.cfg
         iterations = iterations or c.trainer.iterations
         log_every = log_every or c.trainer.log_step
@@ -449,6 +450,13 @@ class GanTrainer:
         self.state = self.init_state(first, seed=c.trainer.seed)
         if ckpt.has_latest():
             self.state = ckpt.latest(self.state)
+        self._place = lambda x: x
+        if mesh is not None:
+            from handwriting_line_generation_tpu.parallel.mesh import (
+                batch_sharding, replicate_state)
+            self.state = replicate_state(mesh, self.state)
+            bs = batch_sharding(mesh)
+            self._place = lambda x: jax.device_put(x, bs)
 
         start = int(self.state.step)
         for i in range(start, iterations):
@@ -468,25 +476,27 @@ class GanTrainer:
         return log
 
     def run_lesson(self, lesson: List[str], data_iter: Iterator) -> Dict:
+        place = getattr(self, "_place", lambda x: x)
         gen_only = all(l[:3] == "gen" or l == "no-step" for l in lesson)
         if gen_only:
             tb = self.text.get_batch(label_len=max(
                 self.cfg.data.label_buckets))
-            label = jnp.asarray(tb["label"])
-            lens = jnp.asarray(tb["label_lengths"])
+            label = place(jnp.asarray(tb["label"]))
+            lens = place(jnp.asarray(tb["label_lengths"]))
             self.state, out = self.step_gen_nostep(
                 self.state, label, lens, self.gen_spaced_len)
             return out
         batch = next(data_iter)
-        image = jnp.asarray(batch["image"])
-        label = jnp.asarray(batch["label"])
-        lens = jnp.asarray(batch["label_lengths"])
+        image = place(jnp.asarray(batch["image"]))
+        label = place(jnp.asarray(batch["label"]))
+        lens = place(jnp.asarray(batch["label_lengths"]))
         a_batch = batch.get("a_batch_size", 1)
         if "count" in lesson:
             self.state, out = self.step_count(self.state, image, label,
                                               lens, a_batch)
         elif "auto" in lesson:
-            fg = jnp.asarray(batch["fg_mask"]) if "fg_mask" in batch else None
+            fg = (place(jnp.asarray(batch["fg_mask"]))
+                  if "fg_mask" in batch else None)
             self.state, out = self.step_auto(self.state, image, label, lens,
                                              fg, a_batch)
         elif "disc" in lesson:

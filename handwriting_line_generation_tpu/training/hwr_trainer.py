@@ -124,7 +124,9 @@ class HWRTrainer:
               log_every: Optional[int] = None,
               val_every: Optional[int] = None,
               val_batches: Optional[int] = 10,
-              on_log=None) -> TrainLog:
+              on_log=None, mesh=None) -> TrainLog:
+        """Iteration loop; pass a ``Mesh`` for data-parallel SPMD (state
+        replicated, batch sharded over the ``data`` axis)."""
         c = self.cfg
         iterations = iterations or c.trainer.iterations
         log_every = log_every or c.trainer.log_step
@@ -141,6 +143,13 @@ class HWRTrainer:
         if ckpt.has_latest():
             self.state = ckpt.latest(self.state)          # soft resume
             print(f"resumed at iteration {int(self.state.step)}")
+        place = lambda x: x
+        if mesh is not None:
+            from handwriting_line_generation_tpu.parallel.mesh import (
+                batch_sharding, replicate_state)
+            self.state = replicate_state(mesh, self.state)
+            bs = batch_sharding(mesh)
+            place = lambda x: jax.device_put(x, bs)
 
         stop = {"flag": False}
 
@@ -152,9 +161,9 @@ class HWRTrainer:
             for i in range(start + 1, iterations + 1):
                 batch = next(it)
                 self.state, out = self.train_step(
-                    self.state, jnp.asarray(batch["image"]),
-                    jnp.asarray(batch["label"]),
-                    jnp.asarray(batch["label_lengths"]))
+                    self.state, place(jnp.asarray(batch["image"])),
+                    place(jnp.asarray(batch["label"])),
+                    place(jnp.asarray(batch["label_lengths"])))
                 metrics = {"loss": float(out["loss"])}
                 if i % log_every == 0:
                     preds = ctc_greedy_decode_batch(np.asarray(out["logp"]),
