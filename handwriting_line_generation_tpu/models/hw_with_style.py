@@ -58,7 +58,8 @@ class HWWithStyle(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.hwr = build_hwr(c.hwr.kind, c.num_class, c.hwr.norm, c.hwr.small)
+        self.hwr = build_hwr(c.hwr.kind, c.num_class, c.hwr.norm,
+                             c.hwr.small, c.hwr.pad)
         if c.style.kind == "char":
             self.style_extractor = CharStyleEncoder(
                 num_class=c.num_class,

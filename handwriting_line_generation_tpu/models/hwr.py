@@ -57,14 +57,18 @@ class _ConvTrunk(nn.Module):
 class CNNOnlyHWR(nn.Module):
     """Conv trunk + height collapse + dilated 1-D stack -> log-probs.
 
-    Dilations (2, 4, 1, 8, 1) as ``cnn_only_hwr.py:61-76``.
+    Dilations (2, 4, 1, 8, 1) as ``cnn_only_hwr.py:61-76``.  ``pad``
+    horizontally zero-pads the input by one ("less") or two image heights
+    per side before the trunk (``cnn_only_hwr.py:11-18``).
     """
     num_class: int
     norm: str = "group"
     small: bool = False
+    pad: str = "none"      # none | pad | less
 
     @nn.compact
     def __call__(self, x, return_features: bool = False):
+        x = _maybe_pad(x, self.pad, self.small)
         feats = _ConvTrunk(norm=self.norm, small=self.small)(x)
         b, h, w, c = feats.shape
         # collapse remaining height (2 rows for H=64 input) by mean: the
@@ -90,9 +94,11 @@ class CRNN(nn.Module):
     hidden: int = 512
     norm: str = "group"
     small: bool = False
+    pad: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        x = _maybe_pad(x, self.pad, self.small)
         feats = _ConvTrunk(norm=self.norm, small=self.small)(x)
         seq = jnp.mean(feats, axis=1)                          # [B, T, 512]
         for _ in range(2):
@@ -104,12 +110,24 @@ class CRNN(nn.Module):
         return nn.log_softmax(logits, axis=-1)
 
 
+def _maybe_pad(x, pad: str, small: bool):
+    """Horizontal zero-pad modes (``cnn_only_hwr.py:11-18``); pad value is
+    the paper background (-1 in our normalization)."""
+    if pad == "none" or not pad:
+        return x
+    h = 32 if small else 64
+    w = h if pad == "less" else 2 * h
+    import jax.numpy as jnp
+    return jnp.pad(x, ((0, 0), (0, 0), (w, w), (0, 0)), constant_values=-1.0)
+
+
 def build_hwr(kind: str, num_class: int, norm: str = "group",
-              small: bool = False):
+              small: bool = False, pad: str = "none"):
     if kind == "cnn_only":
-        return CNNOnlyHWR(num_class=num_class, norm=norm, small=small)
+        return CNNOnlyHWR(num_class=num_class, norm=norm, small=small,
+                          pad=pad)
     if kind == "crnn":
-        return CRNN(num_class=num_class, norm=norm, small=small)
+        return CRNN(num_class=num_class, norm=norm, small=small, pad=pad)
     if kind == "none":
         return None
     raise ValueError(f"unknown hwr kind {kind!r}")

@@ -131,20 +131,30 @@ class GanTrainer:
                 method="init_all")
         )({"params": k1, "noise": k2}, image, label, lens)
         variables = dict(variables)
-        # pretrained HWR surgery (hw_with_style.py:166-178)
+        # pretrained HWR surgery (hw_with_style.py:166-178): read the raw
+        # standalone-HWR checkpoint (HWRState: step/params/opt_state/rng,
+        # params = {'params': tree}) and graft its model tree under 'hwr'
         if c.model.pretrained_hwr:
             import os
-            d, n = os.path.split(c.model.pretrained_hwr)
-            hwr_tmpl = {"params": variables["params"]["hwr"]}
-            try:
-                loaded = load_checkpoint(d, n.replace(".msgpack", ""),
-                                         {"params": hwr_tmpl["params"],
-                                          "_rest": None})
-                variables["params"]["hwr"] = loaded["params"]
-            except Exception:
-                loaded = load_checkpoint(d, n.replace(".msgpack", ""),
-                                         hwr_tmpl)
-                variables["params"]["hwr"] = loaded["params"]
+            import flax.serialization as ser
+            path = c.model.pretrained_hwr
+            if not path.endswith(".msgpack"):
+                path += ".msgpack"
+            with open(path, "rb") as f:
+                raw = ser.msgpack_restore(f.read())
+            tree = raw["params"]
+            if "params" in tree:            # standalone HWRState layout
+                tree = tree["params"]
+            if "hwr" in tree:               # composite-checkpoint layout
+                tree = tree["hwr"]
+            expect = set(variables["params"]["hwr"])
+            got = set(tree)
+            if expect != got:
+                raise ValueError(
+                    f"pretrained_hwr {path}: submodule mismatch "
+                    f"(missing {expect - got}, extra {got - expect})")
+            variables["params"]["hwr"] = jax.tree_util.tree_map(
+                jnp.asarray, tree)
         if self.encoder_params is None:
             self.encoder_params = self.encoder.init(k3, image[:1])
         state, self.main_tx, self.disc_tx = create_gan_state(

@@ -51,7 +51,8 @@ class HWRTrainer:
         c = self.cfg
         self.charset = get_charset(c.data)
         self.model = build_hwr(c.model.hwr.kind, self.charset.num_class,
-                               c.model.hwr.norm, c.model.hwr.small)
+                               c.model.hwr.norm, c.model.hwr.small,
+                               c.model.hwr.pad)
         self.tx = optax.adam(c.optimizer.lr, b1=c.optimizer.betas[0],
                              b2=c.optimizer.betas[1])
         self.augmentation = c.data.augmentation

@@ -60,3 +60,10 @@ def test_roundtrip_own_schema():
     assert cfg2.model.style.style_dim == cfg.model.style.style_dim
     assert cfg2.trainer.balance_var_x == cfg.trainer.balance_var_x
     assert cfg2.optimizer.betas == cfg.optimizer.betas
+
+
+def test_our_configs_load():
+    for path in glob.glob("/root/repo/configs/*.json"):
+        cfg = load_config(path)
+        assert isinstance(cfg, Config), path
+        assert cfg.trainer.kind in ("gan", "hwr", "auto")
