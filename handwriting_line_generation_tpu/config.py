@@ -134,6 +134,8 @@ class DataConfig:
     shuffle: bool = True
     text_data: Optional[str] = None  # corpus path for gen-only lessons
     num_workers: int = 2
+    synthetic_authors: int = 20      # synthetic-corpus size (fix overfit:
+    synthetic_lines: int = 50        # 8x24 memorizes, 20x50 generalizes)
 
 
 @dataclass
@@ -142,6 +144,10 @@ class OptimConfig:
     lr: float = 2e-4
     betas: Tuple[float, float] = (0.5, 0.999)
     weight_decay: float = 0.0
+    lr_schedule: str = "none"   # none | LR_test | cyclic | cyclic-full |
+                                # 1cycle | rampup | warmup (base_trainer.py:113-166)
+    warmup_steps: int = 1000
+    cycle_size: int = 500
 
 
 @dataclass
@@ -315,10 +321,15 @@ def config_from_reference(ref: Dict[str, Any]) -> Config:
 
     def _opt(prefix: str) -> OptimConfig:
         o = ref.get("optimizer" + prefix, {})
+        sched = trainer.get("use_learning_schedule", False)
+        sched = "warmup" if sched is True else (sched or "none")
         return OptimConfig(kind=ref.get("optimizer_type" + prefix, "Adam").lower(),
                            lr=o.get("lr", 2e-4),
                            betas=tuple(o.get("betas", (0.9, 0.999))),
-                           weight_decay=o.get("weight_decay", 0.0))
+                           weight_decay=o.get("weight_decay", 0.0),
+                           lr_schedule=sched,
+                           warmup_steps=trainer.get("warmup_steps", 1000),
+                           cycle_size=trainer.get("cycle_size", 500))
 
     kind = "gan"
     if trainer.get("class") == "AutoTrainer":

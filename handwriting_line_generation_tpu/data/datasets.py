@@ -278,7 +278,9 @@ def make_batcher(cfg: DataConfig, split: str):
     """Dataset dispatch (replaces ``data_loader/data_loaders.py:11-42``)."""
     charset = get_charset(cfg)
     if cfg.dataset == "synthetic":
-        records = synthetic_records(split, cfg.img_height, charset)
+        records = synthetic_records(split, cfg.img_height, charset,
+                                    n_authors=cfg.synthetic_authors,
+                                    lines_per_author=cfg.synthetic_lines)
     elif cfg.dataset in ("iam_author", "iam_lines"):
         records = iam_records(cfg.data_dir, split, cfg.img_height,
                               cfg.max_width)

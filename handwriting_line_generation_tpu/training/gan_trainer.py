@@ -155,24 +155,30 @@ class GanTrainer:
                     f"(missing {expect - got}, extra {got - expect})")
             variables["params"]["hwr"] = jax.tree_util.tree_map(
                 jnp.asarray, tree)
+        if self.encoder_params is None and c.trainer.encoder_weights:
+            import os
+            ep = c.trainer.encoder_weights
+            if os.path.exists(ep if ep.endswith(".msgpack")
+                              else ep + ".msgpack"):
+                self.load_encoder_weights(ep)
         if self.encoder_params is None:
             self.encoder_params = self.encoder.init(k3, image[:1])
         state, self.main_tx, self.disc_tx = create_gan_state(
             c, variables, jax.random.PRNGKey(seed + 1))
         return state
 
-    def load_encoder_weights(self, directory: str, name: str) -> None:
-        """Prefix-scoped perceptual-encoder restore from an AE checkpoint."""
-        from handwriting_line_generation_tpu.training.auto_trainer import \
-            AutoState  # noqa: F401
-        tmpl = {"step": np.zeros((), np.int32),
-                "params": None, "opt_state": None, "rng": None}
+    def load_encoder_weights(self, path: str) -> None:
+        """Prefix-scoped perceptual-encoder restore from an AE checkpoint
+        (the reference loads by 'encoder.' key prefix,
+        hw_with_style_trainer.py:136-158)."""
         import flax.serialization as ser
-        import os
-        with open(os.path.join(directory, name + ".msgpack"), "rb") as f:
+        if not path.endswith(".msgpack"):
+            path += ".msgpack"
+        with open(path, "rb") as f:
             raw = ser.msgpack_restore(f.read())
         enc = raw["params"]["params"]["encoder"]
-        self.encoder_params = {"params": enc}
+        self.encoder_params = {"params": jax.tree_util.tree_map(
+            jnp.asarray, enc)}
 
     # ------------------------------------------------------------------
     # shared pieces

@@ -53,7 +53,12 @@ class HWRTrainer:
         self.model = build_hwr(c.model.hwr.kind, self.charset.num_class,
                                c.model.hwr.norm, c.model.hwr.small,
                                c.model.hwr.pad)
-        self.tx = optax.adam(c.optimizer.lr, b1=c.optimizer.betas[0],
+        from handwriting_line_generation_tpu.training.train_state import \
+            make_lr_schedule
+        lr = make_lr_schedule(c.optimizer.lr_schedule, c.optimizer.lr,
+                              c.trainer.iterations, c.optimizer.warmup_steps,
+                              c.optimizer.cycle_size)
+        self.tx = optax.adam(lr, b1=c.optimizer.betas[0],
                              b2=c.optimizer.betas[1])
         self.augmentation = c.data.augmentation
         self._step_fn = None

@@ -67,16 +67,75 @@ def partition_params(params, *, hwr_frozen: bool, style_frozen: bool = False,
     return jax.tree_util.tree_unflatten(treedef, labels)
 
 
-def _adam(cfg: OptimConfig, lr_scale: float = 1.0) -> optax.GradientTransformation:
+def make_lr_schedule(kind, base_lr: float, total_iters: int,
+                     warmup_steps: int = 1000, cycle_size: int = 500,
+                     min_lr_mul: float = 0.001, low_lr_mul: float = 0.25):
+    """Reference LR schedules as optax schedules
+    (``base_trainer.py:113-166``): ``LR_test`` linear ramp for LR range
+    tests, ``cyclic`` sawtooth decay, ``cyclic-full`` triangle, ``1cycle``
+    up/down/trail-off, ``detector``/``rampup``/``warmup`` Noam-style ramps.
+    """
+    if not kind or kind == "none":
+        return base_lr
+    if kind == "LR_test":
+        start = 1e-6
+        slope = (1.0 - start) / max(total_iters, 1)
+        return lambda step: base_lr * (start + slope * step)
+    if kind == "cyclic":
+        return lambda step: base_lr * (
+            1 - (1 - min_lr_mul) * ((step - 1) % cycle_size)
+            / (cycle_size - 1))
+    if kind == "cyclic-full":
+        def tri(step):
+            phase = (step % cycle_size) / (cycle_size - 1)
+            rising = (step // cycle_size) % 2 == 0
+            frac = jnp.where(rising, phase * (1 - low_lr_mul) + low_lr_mul,
+                             1 - phase * (1 - low_lr_mul))
+            return base_lr * frac
+        return tri
+    if kind == "1cycle":
+        trail = max(total_iters - 2 * cycle_size, 1)
+        def one(step):
+            up = (step % cycle_size) / (cycle_size - 1)
+            r1 = up * (1 - low_lr_mul) + low_lr_mul
+            r2 = 1 - up * (1 - low_lr_mul)
+            t = jnp.clip(step - 2 * cycle_size, 0, trail)
+            r3 = low_lr_mul * (trail - t) / trail + min_lr_mul * t / trail
+            frac = jnp.where(step < cycle_size, r1,
+                             jnp.where(step < 2 * cycle_size, r2, r3))
+            return base_lr * frac
+        return one
+    if kind == "rampup":
+        return lambda step: base_lr * jnp.minimum(
+            1.0, (step + 0.001) / warmup_steps)
+    if kind in ("detector", "warmup", "True", True):
+        return lambda step: base_lr * jnp.minimum(
+            (step + 1.0) ** -0.3, (step + 1.0) * warmup_steps ** -1.3)
+    raise ValueError(f"unknown lr schedule {kind!r}")
+
+
+def _adam(cfg: OptimConfig, lr_scale: float = 1.0,
+          schedule=None) -> optax.GradientTransformation:
+    lr = schedule if schedule is not None else cfg.lr * lr_scale
+    if schedule is not None and lr_scale != 1.0:
+        lr = lambda s: schedule(s) * lr_scale
     if cfg.kind.lower() == "adam":
-        tx = optax.adam(cfg.lr * lr_scale, b1=cfg.betas[0], b2=cfg.betas[1])
+        tx = optax.adam(lr, b1=cfg.betas[0], b2=cfg.betas[1])
     elif cfg.kind.lower() == "sgd":
-        tx = optax.sgd(cfg.lr * lr_scale)
+        tx = optax.sgd(lr)
     else:
         raise ValueError(f"unknown optimizer {cfg.kind!r}")
     if cfg.weight_decay:
         tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
     return tx
+
+
+def swa_update(swa_params, params, n_averaged: jnp.ndarray):
+    """Stochastic weight averaging step (``base_trainer.py:180-186,481``):
+    running mean of params; returns (new_swa, new_count)."""
+    new = jax.tree_util.tree_map(
+        lambda s, p: s + (p - s) / (n_averaged + 1.0), swa_params, params)
+    return new, n_averaged + 1
 
 
 def make_optimizers(labels, opt_cfg: OptimConfig, disc_cfg: OptimConfig,

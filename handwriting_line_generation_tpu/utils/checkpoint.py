@@ -89,23 +89,33 @@ class CheckpointManager:
     (``base_trainer.py:374-399``)."""
 
     def __init__(self, directory: str, save_step: int = 25000,
-                 save_step_minor: int = 250):
+                 save_step_minor: int = 250,
+                 archive_dir: Optional[str] = None):
         self.directory = directory
         self.save_step = save_step
         self.save_step_minor = save_step_minor
         self.best = float("inf")
+        # mirror directory (reference INTERACTIVE_SESSION_ARCHIVE,
+        # base_trainer.py:188-191,392-393); also honors the env var
+        self.archive_dir = archive_dir or os.environ.get(
+            "INTERACTIVE_SESSION_ARCHIVE")
 
     def maybe_save(self, iteration: int, pytree: Any, meta: Dict,
                    monitor_value: Optional[float] = None) -> None:
         meta = dict(meta, iteration=iteration)
+        dirs = [self.directory] + ([self.archive_dir] if self.archive_dir
+                                   else [])
         if self.save_step and iteration % self.save_step == 0:
-            save_checkpoint(self.directory,
-                            f"checkpoint-iteration{iteration}", pytree, meta)
+            for d in dirs:
+                save_checkpoint(d, f"checkpoint-iteration{iteration}",
+                                pytree, meta)
         if self.save_step_minor and iteration % self.save_step_minor == 0:
-            save_checkpoint(self.directory, "checkpoint-latest", pytree, meta)
+            for d in dirs:
+                save_checkpoint(d, "checkpoint-latest", pytree, meta)
         if monitor_value is not None and monitor_value < self.best:
             self.best = monitor_value
-            save_checkpoint(self.directory, "model_best", pytree, meta)
+            for d in dirs:
+                save_checkpoint(d, "model_best", pytree, meta)
 
     def latest(self, template: Any):
         return load_checkpoint(self.directory, "checkpoint-latest", template)

@@ -147,3 +147,23 @@ def test_checkpoint_manager(tmp_path):
     assert "checkpoint-latest.msgpack" in names
     assert "model_best.msgpack" in names
     assert m.has_latest()
+
+
+def test_lr_schedules():
+    from handwriting_line_generation_tpu.training.train_state import (
+        make_lr_schedule, swa_update)
+    import jax.numpy as jnp
+    assert make_lr_schedule("none", 1e-3, 100) == 1e-3
+    ramp = make_lr_schedule("rampup", 1.0, 1000, warmup_steps=100)
+    assert float(ramp(0)) < 0.01 and float(ramp(100)) == pytest.approx(1.0)
+    cyc = make_lr_schedule("cyclic", 1.0, 1000, cycle_size=10)
+    assert float(cyc(1)) == pytest.approx(1.0)
+    assert float(cyc(10)) < 0.2
+    one = make_lr_schedule("1cycle", 1.0, 3000, cycle_size=500)
+    assert float(one(0)) == pytest.approx(0.25)
+    assert float(one(499)) == pytest.approx(1.0, rel=1e-2)
+    # SWA running mean
+    swa = {"w": jnp.zeros(2)}
+    swa, n = swa_update(swa, {"w": jnp.ones(2) * 4}, jnp.zeros(()))
+    swa, n = swa_update(swa, {"w": jnp.ones(2) * 2}, n)
+    np.testing.assert_allclose(np.asarray(swa["w"]), 3.0)
