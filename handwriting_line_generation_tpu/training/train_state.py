@@ -139,19 +139,27 @@ def swa_update(swa_params, params, n_averaged: jnp.ndarray):
 
 
 def make_optimizers(labels, opt_cfg: OptimConfig, disc_cfg: OptimConfig,
-                    grad_clip: float = 2.0):
+                    grad_clip: float = 2.0, total_iters: int = 175_000):
     """(main_tx, disc_tx): each updates only its partitions, zeroing others.
 
     Element-value clipping at ±``grad_clip`` precedes the update, matching
-    ``clip_grad_value_(2)`` (``hw_with_style_trainer.py:381``).
+    ``clip_grad_value_(2)`` (``hw_with_style_trainer.py:381``); LR schedules
+    honor ``OptimConfig.lr_schedule``.
     """
+    def sched(c):
+        s = make_lr_schedule(c.lr_schedule, c.lr, total_iters,
+                             c.warmup_steps, c.cycle_size)
+        return None if isinstance(s, float) else s
+
     clip = optax.clip(grad_clip) if grad_clip else optax.identity()
     main_tx = optax.chain(clip, optax.multi_transform(
-        {"main": _adam(opt_cfg), "slow": _adam(opt_cfg, 0.1),
+        {"main": _adam(opt_cfg, schedule=sched(opt_cfg)),
+         "slow": _adam(opt_cfg, 0.1, schedule=sched(opt_cfg)),
          "disc": optax.set_to_zero(), "frozen": optax.set_to_zero()},
         labels))
     disc_tx = optax.chain(clip, optax.multi_transform(
-        {"disc": _adam(disc_cfg), "main": optax.set_to_zero(),
+        {"disc": _adam(disc_cfg, schedule=sched(disc_cfg)),
+         "main": optax.set_to_zero(),
          "slow": optax.set_to_zero(), "frozen": optax.set_to_zero()},
         labels))
     return main_tx, disc_tx
@@ -231,7 +239,8 @@ def create_gan_state(cfg: Config, variables, rng) -> Tuple[
     labels = partition_params(params, hwr_frozen=cfg.model.hwr_frozen)
     main_tx, disc_tx = make_optimizers(labels, cfg.optimizer,
                                        cfg.optimizer_discriminator,
-                                       cfg.trainer.grad_clip)
+                                       cfg.trainer.grad_clip,
+                                       cfg.trainer.iterations)
     state = GanTrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
