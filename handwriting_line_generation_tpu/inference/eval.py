@@ -21,6 +21,7 @@ from handwriting_line_generation_tpu.charset import (
 from handwriting_line_generation_tpu.models.hw_with_style import (
     HWWithStyle, _flat_style,
 )
+from handwriting_line_generation_tpu.ops.ctc import mask_frames_to_blank
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 
 
@@ -48,8 +49,8 @@ class Evaluator:
         self.model = model
         self.params = params
         self.charset = charset
-        self._recog = jax.jit(lambda p, im: self.model.apply(
-            {"params": p}, im, method="recognize"))
+        self._recog = jax.jit(lambda p, im, fr: mask_frames_to_blank(
+            self.model.apply({"params": p}, im, method="recognize"), fr))
         self._auto = None
 
     def _autoencode(self, image, label, lens, a_batch: int):
@@ -82,8 +83,10 @@ class Evaluator:
             image = jnp.asarray(batch["image"])
             label = jnp.asarray(batch["label"])
             lens = jnp.asarray(batch["label_lengths"])
-            # HWR metrics
-            logp = self._recog(self.params, image)
+            # HWR metrics (frames past true ink width masked to blank)
+            frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
+                              image.shape[2] // 4)
+            logp = self._recog(self.params, image, frames)
             preds = ctc_greedy_decode_batch(np.asarray(logp), self.charset)
             cer, wer = batch_cer_wer(batch["gt"], preds)
             totals["CER"] = totals.get("CER", 0) + cer

@@ -129,6 +129,10 @@ class CharStyleEncoder(nn.Module):
         """
         csd = self.style_dim if self.single_style else self.char_style_dim
         B = image.shape[0]
+        # recog may be frame-masked with -1e30 char log-probs (ops.ctc.
+        # mask_frames_to_blank); floor it before it feeds convs or the
+        # activations overflow to NaN. -30 is below any real log-softmax.
+        recog = jnp.maximum(recog, -30.0)
         x = StyleTrunk(dim=self.dim, norm=self.norm, act=self.act,
                        pad_type=self.pad_type)(image)        # [B, T, 4d]
         T = x.shape[1]

@@ -33,6 +33,7 @@ from handwriting_line_generation_tpu.models.discriminator import DiscriminatorAP
 from handwriting_line_generation_tpu.models.generator import SpacedGenerator
 from handwriting_line_generation_tpu.models.hwr import build_hwr
 from handwriting_line_generation_tpu.ops.align import viterbi_align
+from handwriting_line_generation_tpu.ops.ctc import mask_frames_to_blank
 from handwriting_line_generation_tpu.ops.spacing import insert_spaces, onehot
 
 
@@ -105,11 +106,19 @@ class HWWithStyle(nn.Module):
         return self.hwr(image)
 
     def extract_style(self, image, a_batch_size: int = 1,
-                      pred: Optional[jnp.ndarray] = None):
+                      pred: Optional[jnp.ndarray] = None,
+                      frame_lengths: Optional[jnp.ndarray] = None):
         """Style from same-author image groups.  Returns ``(style, pred)``
-        with style repeated per line (``hw_with_style.py:299``)."""
+        with style repeated per line (``hw_with_style.py:299``).
+
+        ``frame_lengths`` masks recognizer frames past each sample's true
+        ink width to blank (pad frames otherwise attract CTC spikes and
+        poison alignments + per-char style crops).
+        """
         if pred is None:
             pred = self.hwr(image)
+        if frame_lengths is not None:
+            pred = mask_frames_to_blank(pred, frame_lengths)
         img_c, pred_c = collapse_author_batch(image, pred, a_batch_size)
         style = self.style_extractor(img_c, pred_c)
         if isinstance(style, tuple):
@@ -150,10 +159,12 @@ class HWWithStyle(nn.Module):
 
     def autoencode(self, image, labels, label_lengths, a_batch_size: int = 1,
                    spaced_label: Optional[jnp.ndarray] = None,
-                   deterministic: bool = True):
+                   deterministic: bool = True,
+                   frame_lengths: Optional[jnp.ndarray] = None):
         """Reconstruct the input line in its own extracted style
         (``hw_with_style.py:270-279``)."""
-        style, pred = self.extract_style(image, a_batch_size)
+        style, pred = self.extract_style(image, a_batch_size,
+                                         frame_lengths=frame_lengths)
         if spaced_label is None:
             spaced_label = viterbi_align(pred, labels, label_lengths)
         recon = self.generator(onehot(spaced_label, self.cfg.num_class),

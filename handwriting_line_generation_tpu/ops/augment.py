@@ -208,15 +208,21 @@ def apply_augmentation(kind: Optional[str], img: jnp.ndarray,
                        fg_mask: Optional[jnp.ndarray], rng: jax.Array,
                        max_stretch: float = 0.4,
                        max_rot_rad: float = 45 / 180 * 3.14159265
-                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                                  jnp.ndarray]:
     """Dispatch per the config string (``author_hw_dataset.py:299-308,427-433``).
 
     'affine' shares one (skew, stretch) draw across the whole author batch
     like the reference (drawn per __getitem__, i.e. per author group —
     here per batch, the same sharing granularity our batcher uses).
+
+    Returns ``(image, fg_mask, width_scale)``; callers scale each sample's
+    true ink width by ``width_scale`` when masking recognizer frames
+    (a >1 stretch widens the ink region).
     """
+    one = jnp.ones(())
     if not kind:
-        return img, fg_mask
+        return img, fg_mask, one
     B = img.shape[0]
     # "augmentation": true in reference configs means brightness+warp
     # (hw_dataset.py:143-152); strings select specific pipelines
@@ -226,14 +232,15 @@ def apply_augmentation(kind: Optional[str], img: jnp.ndarray,
                                      maxval=1 + max_stretch)
         skew = jax.random.uniform(k2, (), minval=-max_rot_rad,
                                   maxval=max_rot_rad)
-        stretch = jnp.full((B,), stretch)
-        skew = jnp.full((B,), skew)
-        out = affine_slant_stretch(img, skew, stretch)
+        stretch_b = jnp.full((B,), stretch)
+        skew_b = jnp.full((B,), skew)
+        out = affine_slant_stretch(img, skew_b, stretch_b)
         if fg_mask is not None:
-            fg_mask = affine_slant_stretch(fg_mask, skew, stretch, fill=0.0)
-        return out, fg_mask
+            fg_mask = affine_slant_stretch(fg_mask, skew_b, stretch_b,
+                                           fill=0.0)
+        return out, fg_mask, stretch
     # default: brightness + warp (hw_dataset.py:143-152)
     k1, k2 = jax.random.split(rng)
     out = tensmeyer_brightness(img, k1)
     out = grid_warp(out, k2)
-    return out, fg_mask
+    return out, fg_mask, one

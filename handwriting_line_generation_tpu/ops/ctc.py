@@ -116,6 +116,25 @@ def ctc_loss(log_probs: jnp.ndarray, labels: jnp.ndarray,
     raise ValueError(f"unknown reduction {reduction!r}")
 
 
+def mask_frames_to_blank(log_probs: jnp.ndarray,
+                         frame_lengths: jnp.ndarray) -> jnp.ndarray:
+    """Force frames past each sample's true length to emit blank.
+
+    Width-bucketed batches pad images with paper; the recognizer's padded
+    frames are then free real estate where CTC happily parks its character
+    spikes (observed: all emissions in the pad region, which poisons forced
+    alignments and the spacing ground truth).  Setting ``logp[t >= len] =
+    onehot(blank)`` in log space is exactly equivalent to per-sample CTC
+    input lengths while keeping the uniform-T contract the Pallas kernel
+    wants: char emissions in the pad get -inf, blanks are free.
+    """
+    B, T, C = log_probs.shape
+    t_idx = jnp.arange(T)[None, :, None]
+    in_range = t_idx < frame_lengths[:, None, None]
+    blank_certain = jnp.full((C,), NEG_INF).at[0].set(0.0)
+    return jnp.where(in_range, log_probs, blank_certain[None, None, :])
+
+
 def ctc_loss_fast(log_probs: jnp.ndarray, labels: jnp.ndarray,
                   label_lengths: jnp.ndarray,
                   reduction: str = "mean") -> jnp.ndarray:

@@ -49,7 +49,8 @@ from handwriting_line_generation_tpu.models.hw_with_style import (
 )
 from handwriting_line_generation_tpu.ops.augment import apply_augmentation
 from handwriting_line_generation_tpu.ops.align import viterbi_align
-from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
+from handwriting_line_generation_tpu.ops.ctc import (ctc_loss_fast,
+                                                      mask_frames_to_blank)
 from handwriting_line_generation_tpu.ops.spacing import counts_from_spaced, onehot
 from handwriting_line_generation_tpu.training.curriculum import Curriculum
 from handwriting_line_generation_tpu.training.losses import (
@@ -207,18 +208,21 @@ class GanTrainer:
     # lesson steps
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=1)
+    @partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
     def step_count(self, state: GanTrainState, image, label, lens,
-                   a_batch: int) -> Tuple[GanTrainState, Dict]:
+                   width, a_batch: int) -> Tuple[GanTrainState, Dict]:
         """Lesson ["count"] (hw_with_style_trainer.py:616-719)."""
         rng, aug_key = jax.random.split(state.rng)
-        image, _ = apply_augmentation(self.cfg.data.augmentation, image,
-                                      None, aug_key)
+        image, _, wscale = apply_augmentation(self.cfg.data.augmentation,
+                                              image, None, aug_key)
+        frames = jnp.clip(jnp.ceil(width * wscale / 4.0).astype(jnp.int32),
+                          1, image.shape[2] // 4)
 
         def loss_fn(params):
             pred = jax.lax.stop_gradient(
                 self.model.apply({"params": params}, image,
                                  method="recognize"))
+            pred = mask_frames_to_blank(pred, frames)
             style, _ = self.model.apply(
                 {"params": params}, image, a_batch, pred,
                 method="extract_style")
@@ -259,10 +263,14 @@ class GanTrainer:
                                 self.cfg.model.style.style_dim)
 
         def recog_loss_fn(params):
-            img, _ = self._gen_image(params, state.spectral, label, lens,
-                                     style_gen, krng, nrng, spaced_len)
+            img, aux = self._gen_image(params, state.spectral, label, lens,
+                                       style_gen, krng, nrng, spaced_len)
             logp = self.model.apply({"params": params}, img,
                                     method="recognize")
+            # generated ink spans the first total_len frames; confine the
+            # CTC there so padding can't absorb emissions
+            frames = jnp.clip(aux["total_len"], 1, spaced_len)
+            logp = mask_frames_to_blank(logp, frames)
             return self._ctc(logp, label, lens, self.w["genRecog"])
 
         def adv_loss_fn(params):
@@ -289,19 +297,22 @@ class GanTrainer:
             rngs={"noise": noise_rng})
         return img, aux
 
-    @partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
+    @partial(jax.jit, static_argnums=(0, 7), donate_argnums=1)
     def step_auto(self, state: GanTrainState, image, label, lens, fg_mask,
-                  a_batch: int) -> Tuple[GanTrainState, Dict]:
+                  width, a_batch: int) -> Tuple[GanTrainState, Dict]:
         """Lesson ["auto", "auto-gen"]: main + adversarial + recog groups,
         balance-merged with the saved no-step groups."""
         rng, aug_key, nrng = jax.random.split(state.rng, 3)
-        image, fg_mask = apply_augmentation(self.cfg.data.augmentation,
-                                            image, fg_mask, aug_key)
+        image, fg_mask, wscale = apply_augmentation(
+            self.cfg.data.augmentation, image, fg_mask, aug_key)
+        frames = jnp.clip(jnp.ceil(width * wscale / 4.0).astype(jnp.int32),
+                          1, image.shape[2] // 4)
 
         def autoencode(params):
             recon, aux = self.model.apply(
                 {"params": params}, image, label, lens, a_batch,
-                method="autoencode", rngs={"noise": nrng})
+                method="autoencode", rngs={"noise": nrng},
+                frame_lengths=frames)
             return recon, aux
 
         def main_loss_fn(params):
@@ -381,8 +392,8 @@ class GanTrainer:
                   ) -> Tuple[GanTrainState, Dict]:
         """Lesson ["disc"]: hinge on real vs generated (trainer:788-806)."""
         rng, aug_key, krng, nrng, srng = jax.random.split(state.rng, 5)
-        image, _ = apply_augmentation(self.cfg.data.augmentation, image,
-                                      None, aug_key)
+        image, _, _ = apply_augmentation(self.cfg.data.augmentation, image,
+                                         None, aug_key)
         B = label.shape[0]
         spaced_len = image.shape[2] // 4
         style_gen = bank_sample(state.style_bank, state.bank_count, srng,
@@ -415,14 +426,16 @@ class GanTrainer:
     # evaluation
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0, 5))
-    def eval_step(self, state: GanTrainState, image, label, lens,
+    @partial(jax.jit, static_argnums=(0, 6))
+    def eval_step(self, state: GanTrainState, image, label, lens, width,
                   a_batch: int) -> Dict:
         """Validation losses for the curriculum's valid tags
         (trainer:437-486)."""
+        frames = jnp.clip((width + 3) // 4, 1, image.shape[2] // 4)
         recon, aux = self.model.apply(
             {"params": state.params}, image, label, lens, a_batch,
-            method="autoencode", rngs={"noise": jax.random.PRNGKey(0)})
+            method="autoencode", rngs={"noise": jax.random.PRNGKey(0)},
+            frame_lengths=frames)
         auto = jnp.mean(jnp.abs(recon - image))
         out = {"val_autoLoss": auto}
         if self.use_perceptual and self.encoder_params is not None:
@@ -507,14 +520,15 @@ class GanTrainer:
         label = place(jnp.asarray(batch["label"]))
         lens = place(jnp.asarray(batch["label_lengths"]))
         a_batch = batch.get("a_batch_size", 1)
+        width = place(jnp.asarray(batch["width"]))
         if "count" in lesson:
             self.state, out = self.step_count(self.state, image, label,
-                                              lens, a_batch)
+                                              lens, width, a_batch)
         elif "auto" in lesson:
             fg = (place(jnp.asarray(batch["fg_mask"]))
                   if "fg_mask" in batch else None)
             self.state, out = self.step_auto(self.state, image, label, lens,
-                                             fg, a_batch)
+                                             fg, width, a_batch)
         elif "disc" in lesson:
             self.state, out = self.step_disc(self.state, image, label, lens)
         else:
@@ -531,6 +545,7 @@ class GanTrainer:
             out = self.eval_step(self.state, jnp.asarray(batch["image"]),
                                  jnp.asarray(batch["label"]),
                                  jnp.asarray(batch["label_lengths"]),
+                                 jnp.asarray(batch["width"]),
                                  batch.get("a_batch_size", 1))
             for k, v in out.items():
                 if k == "recon":

@@ -30,7 +30,8 @@ from handwriting_line_generation_tpu.data.datasets import (
 )
 from handwriting_line_generation_tpu.models.hwr import build_hwr
 from handwriting_line_generation_tpu.ops.augment import apply_augmentation
-from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
+from handwriting_line_generation_tpu.ops.ctc import (ctc_loss_fast,
+                                                      mask_frames_to_blank)
 from handwriting_line_generation_tpu.utils.checkpoint import CheckpointManager
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
@@ -78,14 +79,20 @@ class HWRTrainer:
     # -- steps ---------------------------------------------------------
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: HWRState, image, label, label_lengths
-                   ) -> Tuple[HWRState, Dict[str, jnp.ndarray]]:
+    def train_step(self, state: HWRState, image, label, label_lengths,
+                   width) -> Tuple[HWRState, Dict[str, jnp.ndarray]]:
         rng, aug_key = jax.random.split(state.rng)
 
         def loss_fn(params):
-            img, _ = apply_augmentation(self.augmentation, image, None,
-                                        aug_key)
+            img, _, wscale = apply_augmentation(self.augmentation, image,
+                                                None, aug_key)
             logp = self.model.apply(params, img)
+            # confine emissions to each sample's true (stretched) ink width:
+            # otherwise CTC parks its spikes in the pad region and forced
+            # alignments are garbage
+            frames = jnp.ceil(width * wscale / 4.0).astype(jnp.int32)
+            frames = jnp.clip(frames, 1, logp.shape[1])
+            logp = mask_frames_to_blank(logp, frames)
             loss = ctc_loss_fast(logp, label, label_lengths)
             return loss, logp
 
@@ -99,8 +106,10 @@ class HWRTrainer:
         return new, {"loss": loss, "logp": logp}
 
     @partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: HWRState, image, label, label_lengths):
+    def eval_step(self, state: HWRState, image, label, label_lengths, width):
         logp = self.model.apply(state.params, image)
+        frames = jnp.clip((width + 3) // 4, 1, logp.shape[1])
+        logp = mask_frames_to_blank(logp, frames)
         loss = ctc_loss_fast(logp, label, label_lengths)
         return loss, logp
 
@@ -116,7 +125,8 @@ class HWRTrainer:
                 break
             loss, logp = self.eval_step(state, jnp.asarray(batch["image"]),
                                         jnp.asarray(batch["label"]),
-                                        jnp.asarray(batch["label_lengths"]))
+                                        jnp.asarray(batch["label_lengths"]),
+                                        jnp.asarray(batch["width"]))
             preds = ctc_greedy_decode_batch(np.asarray(logp), self.charset)
             cer, wer = batch_cer_wer(batch["gt"], preds,
                                      self.cfg.trainer.casesensitive)
@@ -169,7 +179,8 @@ class HWRTrainer:
                 self.state, out = self.train_step(
                     self.state, place(jnp.asarray(batch["image"])),
                     place(jnp.asarray(batch["label"])),
-                    place(jnp.asarray(batch["label_lengths"])))
+                    place(jnp.asarray(batch["label_lengths"])),
+                    place(jnp.asarray(batch["width"])))
                 metrics = {"loss": float(out["loss"])}
                 if i % log_every == 0:
                     preds = ctc_greedy_decode_batch(np.asarray(out["logp"]),

@@ -91,3 +91,27 @@ def test_ctc_jit_and_repeated_labels():
                         jnp.asarray(ilens), jnp.asarray(llens)))
     ref = _torch_loss(lp, labels, ilens, llens, "none").numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_mask_frames_to_blank():
+    from handwriting_line_generation_tpu.ops.ctc import mask_frames_to_blank
+    B, T, C = 2, 6, 4
+    lp = jnp.zeros((B, T, C))
+    out = np.asarray(mask_frames_to_blank(lp, jnp.array([3, 6])))
+    # sample 0: frames 3.. forced blank-certain
+    assert out[0, 2, 1] == 0.0
+    assert out[0, 3, 0] == 0.0 and out[0, 3, 1] < -1e29
+    # sample 1: untouched
+    np.testing.assert_array_equal(out[1], np.zeros((T, C)))
+    # equivalent to per-sample input lengths for the loss
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((1, 8, 5)).astype(np.float32)
+    lpx = jnp.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    labels = jnp.array([[1, 2]], jnp.int32)
+    ref = _torch_loss(np.asarray(lpx), np.asarray(labels),
+                      np.array([5], np.int32), np.array([2], np.int32),
+                      "none").numpy()
+    masked = mask_frames_to_blank(lpx, jnp.array([5]))
+    ours = np.asarray(ctc_loss(masked, labels, jnp.array([8]),
+                               jnp.array([2]), reduction="none"))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)

@@ -147,9 +147,10 @@ def test_augment_shapes_and_effect():
     st = jnp.array([1.2, 0.8])
     out3 = affine_slant_stretch(img, sk, st)
     assert out3.shape == img.shape
-    out4, fg = apply_augmentation("affine", img, jnp.zeros_like(img),
-                                  jax.random.PRNGKey(2))
+    out4, fg, wscale = apply_augmentation("affine", img, jnp.zeros_like(img),
+                                          jax.random.PRNGKey(2))
     assert out4.shape == img.shape and fg.shape == img.shape
+    assert 0.6 <= float(wscale) <= 1.4
 
 
 def test_deskew_reduces_slant():
