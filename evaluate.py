@@ -20,10 +20,14 @@ def main():
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--save-styles", action="store_true")
     ap.add_argument("--save-spaced", action="store_true")
+    ap.add_argument("-a", "--override", action="append",
+                    default=[], metavar="PATH=VALUE",
+                    help="nested config override, e.g. -a trainer.iterations=100")
     args = ap.parse_args()
 
     import numpy as np
-    from handwriting_line_generation_tpu.config import load_config
+    from handwriting_line_generation_tpu.config import (apply_overrides,
+                                                    load_config)
     from handwriting_line_generation_tpu.data.datasets import (
         get_charset, make_batcher)
     from handwriting_line_generation_tpu.inference.eval import Evaluator
@@ -32,6 +36,7 @@ def main():
         CheckpointManager)
 
     cfg = load_config(args.config)
+    apply_overrides(cfg, args.override)
     trainer = GanTrainer(cfg)
     batcher = make_batcher(cfg.data, args.split)
     first = next(iter(batcher.batches(np.random.default_rng(0))))

@@ -27,11 +27,17 @@ def main():
     ap.add_argument("-n", "--count", type=int, default=8)
     ap.add_argument("-o", "--out-dir", default="generated")
     ap.add_argument("--seed", type=int, default=0)
+    # -a is taken by --author here; overrides use the long flag only
+    ap.add_argument("--override", action="append",
+                    default=[], metavar="PATH=VALUE",
+                    help="nested config override, e.g. "
+                         "--override trainer.iterations=100")
     args = ap.parse_args()
 
     import cv2
     import numpy as np
-    from handwriting_line_generation_tpu.config import load_config
+    from handwriting_line_generation_tpu.config import (apply_overrides,
+                                                    load_config)
     from handwriting_line_generation_tpu.data.datasets import get_charset, \
         make_batcher
     from handwriting_line_generation_tpu.inference.generate import (
@@ -43,6 +49,7 @@ def main():
         CheckpointManager)
 
     cfg = load_config(args.config)
+    apply_overrides(cfg, args.override)
     trainer = GanTrainer(cfg)
     first = next(iter(make_batcher(cfg.data, "train").batches(
         np.random.default_rng(0))))

@@ -19,11 +19,15 @@ def main():
                     help="use the test split instead of train/valid")
     ap.add_argument("-o", "--out-dir", default=None)
     ap.add_argument("-n", "--max-batches", type=int, default=None)
+    ap.add_argument("-a", "--override", action="append",
+                    default=[], metavar="PATH=VALUE",
+                    help="nested config override, e.g. -a trainer.iterations=100")
     args = ap.parse_args()
 
     import jax
     import numpy as np
-    from handwriting_line_generation_tpu.config import load_config
+    from handwriting_line_generation_tpu.config import (apply_overrides,
+                                                    load_config)
     from handwriting_line_generation_tpu.data.datasets import (
         get_charset, make_batcher)
     from handwriting_line_generation_tpu.inference.styles import (
@@ -34,6 +38,7 @@ def main():
         CheckpointManager)
 
     cfg = load_config(args.config)
+    apply_overrides(cfg, args.override)
     trainer = GanTrainer(cfg)
     splits = ["test"] if args.test else ["train", "valid"]
     first = next(iter(make_batcher(cfg.data, splits[0]).batches(

@@ -376,3 +376,30 @@ def load_config(path: str) -> Config:
     if "arch" in data or "data_loader" in data:   # reference schema
         return config_from_reference(data)
     return config_from_dict(data)
+
+
+def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
+    """Apply ``a.b.c=value`` overrides in place (the reference's nested
+    ``-a k1=k2=v`` CLI mechanism with int/float coercion,
+    ``new_eval.py:80-105``).  Dots or ``=`` both separate path segments."""
+    for ov in overrides or []:
+        *path, value = ov.replace("=", ".").split(".")
+        try:
+            value = int(value)
+        except ValueError:
+            try:
+                value = float(value)
+            except ValueError:
+                if value in ("true", "True", "false", "False"):
+                    value = value.lower() == "true"
+        node = cfg
+        for part in path[:-1]:
+            node = getattr(node, part) if not isinstance(node, dict) \
+                else node[part]
+        if isinstance(node, dict):
+            node[path[-1]] = value
+        else:
+            if not hasattr(node, path[-1]):
+                raise AttributeError(f"no config field {'.'.join(path)}")
+            setattr(node, path[-1], value)
+    return cfg

@@ -122,3 +122,19 @@ class CheckpointManager:
 
     def has_latest(self) -> bool:
         return checkpoint_exists(self.directory, "checkpoint-latest")
+
+
+def param_summary(params: Dict, max_depth: int = 1) -> str:
+    """Trainable-parameter count summary (``base/base_model.py:7-31``):
+    total plus per-top-level-module counts."""
+    import jax
+
+    def count(tree):
+        return sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(tree))
+
+    lines = [f"total params: {count(params):,}"]
+    if isinstance(params, dict):
+        for k in sorted(params):
+            lines.append(f"  {k}: {count(params[k]):,}")
+    return "\n".join(lines)

@@ -23,10 +23,15 @@ def main():
     ap.add_argument("--dataset", default=None,
                     help="override dataset (e.g. 'synthetic' for smoke runs)")
     ap.add_argument("--save-dir", default=None)
+    ap.add_argument("-a", "--override", action="append",
+                    default=[], metavar="PATH=VALUE",
+                    help="nested config override, e.g. -a trainer.iterations=100")
     args = ap.parse_args()
 
-    from handwriting_line_generation_tpu.config import load_config
+    from handwriting_line_generation_tpu.config import (apply_overrides,
+                                                    load_config)
     cfg = load_config(args.config)
+    apply_overrides(cfg, args.override)
     if args.dataset:
         cfg.data.dataset = args.dataset
     if args.save_dir:
