@@ -294,3 +294,40 @@ def make_batcher(cfg: DataConfig, split: str):
                            with_fg=False)
     return AuthorBatcher(records, charset, cfg.batch_size, cfg.a_batch_size,
                          cfg, with_fg=cfg.fg_masks)
+
+
+class Prefetcher:
+    """Background-thread batch prefetch.
+
+    The reference overlaps host work with compute via DataLoader worker
+    processes (``data_loaders.py:28-31``); here a single daemon thread keeps
+    a small queue of assembled batches ahead of the device step (cv2 decode +
+    fg-mask Otsu cost ~30-60 ms/batch on one host core, a third of a GAN
+    step).  Wrap any iterator: ``Prefetcher(forever(batcher))``.
+    """
+
+    def __init__(self, iterator: Iterator[Dict], depth: int = 4):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            except BaseException as e:            # surface in the consumer
+                self._err = e
+                self._q.put(None)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise (self._err or StopIteration)
+        return item

@@ -115,6 +115,7 @@ class CharStyleEncoder(nn.Module):
     act: str = "relu"
     pad_type: str = "replicate"
     average_found_char_style: float = 1.0
+    vae: bool = False
 
     @property
     def single_style(self) -> bool:
@@ -228,6 +229,10 @@ class CharStyleEncoder(nn.Module):
         comb = jnp.concatenate([pooled, avg_char], axis=-1)
         comb = nn.relu(nn.Dense(C4)(comb))
         if self.single_style:
+            if self.vae:
+                # VAE head: (mu, log_sigma) pairs (char_style.py:303-307)
+                out = nn.Dense(2 * self.style_dim)(comb)
+                return out[:, : self.style_dim], out[:, self.style_dim:]
             return nn.Dense(self.style_dim)(comb)
         out = nn.Dense(self.style_dim + csd)(comb)
         spacing_style = out[:, :csd]

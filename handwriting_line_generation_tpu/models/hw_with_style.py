@@ -73,6 +73,7 @@ class HWWithStyle(nn.Module):
                 norm=c.style.norm,
                 act=c.style.activ,
                 average_found_char_style=c.style.average_found_char_style,
+                vae=c.style.vae,
             )
         else:
             self.style_extractor = None

@@ -21,7 +21,7 @@ from flax import struct
 from handwriting_line_generation_tpu.charset import ctc_greedy_decode_batch
 from handwriting_line_generation_tpu.config import Config
 from handwriting_line_generation_tpu.data.datasets import (
-    forever, get_charset, make_batcher,
+    Prefetcher, forever, get_charset, make_batcher,
 )
 from handwriting_line_generation_tpu.models.autoencoder import Autoencoder
 from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
@@ -121,7 +121,7 @@ class AutoTrainer:
         val_every = c.trainer.val_step if val_every is None else val_every
         train_b = make_batcher(c.data, "train")
         valid_b = make_batcher(c.data, "valid")
-        it = forever(train_b, seed=c.trainer.seed)
+        it = Prefetcher(forever(train_b, seed=c.trainer.seed))
         log = TrainLog(window=log_every)
         ckpt = CheckpointManager(f"{c.trainer.save_dir}/{c.name}",
                                  c.trainer.save_step, c.trainer.save_step_minor)

@@ -40,7 +40,7 @@ import numpy as np
 from handwriting_line_generation_tpu.charset import ctc_greedy_decode_batch
 from handwriting_line_generation_tpu.config import Config
 from handwriting_line_generation_tpu.data.datasets import (
-    forever, get_charset, make_batcher,
+    Prefetcher, forever, get_charset, make_batcher,
 )
 from handwriting_line_generation_tpu.data.text_data import TextSampler
 from handwriting_line_generation_tpu.models.autoencoder import build_encoder
@@ -471,7 +471,7 @@ class GanTrainer:
         val_every = c.trainer.val_step if val_every is None else val_every
         train_b = make_batcher(c.data, "train")
         valid_b = make_batcher(c.data, "valid")
-        it = forever(train_b, seed=c.trainer.seed)
+        it = Prefetcher(forever(train_b, seed=c.trainer.seed))
         log = TrainLog(window=log_every)
         ckpt = CheckpointManager(f"{c.trainer.save_dir}/{c.name}",
                                  c.trainer.save_step, c.trainer.save_step_minor)

@@ -26,7 +26,7 @@ from flax import struct
 from handwriting_line_generation_tpu.charset import ctc_greedy_decode_batch
 from handwriting_line_generation_tpu.config import Config
 from handwriting_line_generation_tpu.data.datasets import (
-    forever, get_charset, make_batcher,
+    Prefetcher, forever, get_charset, make_batcher,
 )
 from handwriting_line_generation_tpu.models.hwr import build_hwr
 from handwriting_line_generation_tpu.ops.augment import apply_augmentation
@@ -149,7 +149,7 @@ class HWRTrainer:
         val_every = val_every or c.trainer.val_step
         train_b = make_batcher(c.data, "train")
         valid_b = make_batcher(c.data, "valid")
-        it = forever(train_b, seed=c.trainer.seed)
+        it = Prefetcher(forever(train_b, seed=c.trainer.seed))
         log = TrainLog(window=log_every)
         ckpt = CheckpointManager(f"{c.trainer.save_dir}/{c.name}",
                                  c.trainer.save_step,

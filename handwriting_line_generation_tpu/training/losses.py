@@ -51,6 +51,24 @@ def sigmoid_bce(pred, target, **_):
     return jnp.mean(jnp.log1p(jnp.exp(-p)))
 
 
+def style_reg(style, weight_dummy=None, **_):
+    """L2 magnitude regularizer on style vectors (the trainer's optional
+    ``styleReg`` hook, ``hw_with_style_trainer.py:543-545``)."""
+    return jnp.mean(style ** 2)
+
+
+def vae_kl(mu, log_sigma, **_):
+    """KL(N(mu, sigma) || N(0, 1)) for the VAE style mode
+    (``char_style.py:303-307`` outputs)."""
+    return jnp.mean(0.5 * (jnp.exp(2 * log_sigma) + mu ** 2
+                           - 1.0 - 2 * log_sigma))
+
+
+def sample_vae_style(mu, log_sigma, rng):
+    import jax
+    return mu + jnp.exp(log_sigma) * jax.random.normal(rng, mu.shape)
+
+
 REGISTRY: Dict[str, Callable] = {
     "L1Loss": l1,
     "MSE": mse,
@@ -60,6 +78,8 @@ REGISTRY: Dict[str, Callable] = {
     "AdaptiveHingeLoss": adaptive_hinge,
     "sigmoid_BCE_loss": sigmoid_bce,
     "CTCLoss": ctc_loss,
+    "styleReg": style_reg,
+    "VAEKL": vae_kl,
 }
 
 

