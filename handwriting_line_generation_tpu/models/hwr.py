@@ -110,6 +110,50 @@ class CRNN(nn.Module):
         return nn.log_softmax(logits, axis=-1)
 
 
+class SmallCRNN(nn.Module):
+    """Compact CRNN for short (H=24) inputs (``cnn_lstm.py:117-192``):
+    7 convs (128-128-256-256-512-512-512) with dropout on the deep layers,
+    pools 2x2, 2x2, (2,2)/(2,1) collapsing H 24 -> 3, mean height collapse,
+    single bidirectional LSTM head, log-softmax.  Inputs narrower than 12 px
+    are symmetrically padded as the reference does (``:169-171``)."""
+    num_class: int
+    hidden: int = 512
+    norm: str = "group"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if x.shape[2] < 12:
+            d = 12 - x.shape[2]
+            x = jnp.pad(x, ((0, 0), (0, 0), (d // 2, d - d // 2), (0, 0)),
+                        constant_values=-1.0)
+        widths = (128, 128, 256, 256, 512, 512, 512)
+        normed = (False, True, True, False, True, False, True)
+        dropped = (False, False, True, True, True, True, True)
+        for i, (f, use_norm, use_drop) in enumerate(
+                zip(widths, normed, dropped)):
+            x = nn.Conv(f, (3, 3), padding="SAME")(x)
+            if use_norm and self.norm != "none":
+                x = gn(f)(x)
+            if use_drop and self.dropout:
+                x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                               deterministic=deterministic)(x)
+            x = nn.relu(x)
+            if i == 1:
+                x = max_pool(x, (2, 2))                       # H/2, W/2
+            elif i == 3:
+                x = max_pool(x, (2, 2))                       # H/4, W/4
+            elif i == 5:
+                x = max_pool(x, (2, 2), (2, 1), padding="SAME")  # H/8
+        seq = jnp.mean(x, axis=1)                             # [B, W/4, 512]
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))(seq)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
+                     keep_order=True)(seq)
+        logits = nn.Dense(self.num_class)(
+            jnp.concatenate([fwd, bwd], -1))
+        return nn.log_softmax(logits, axis=-1)
+
+
 def _maybe_pad(x, pad: str, small: bool):
     """Horizontal zero-pad modes (``cnn_only_hwr.py:11-18``); pad value is
     the paper background (-1 in our normalization)."""
@@ -128,6 +172,8 @@ def build_hwr(kind: str, num_class: int, norm: str = "group",
                           pad=pad)
     if kind == "crnn":
         return CRNN(num_class=num_class, norm=norm, small=small, pad=pad)
+    if kind == "small_crnn":
+        return SmallCRNN(num_class=num_class, norm=norm)
     if kind == "none":
         return None
     raise ValueError(f"unknown hwr kind {kind!r}")

@@ -204,6 +204,70 @@ def deskew(img: jnp.ndarray, n_angles: int = 31,
     return jax.vmap(one)(ink, img)
 
 
+def _shift2d(m: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Zero-border shift of [B, H, W] by static (dy, dx)."""
+    B, H, W = m.shape
+    p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+    return p[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+
+
+def skeletonize(ink: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
+    """Zhang-Suen thinning, fully vectorized (replaces the host-side
+    ``skimage.skeletonize`` call in ``normalize_line.py:66-70``).
+
+    ``ink`` is a [B, H, W] {0,1} int map; each iteration applies both
+    sub-passes via 8-neighborhood shifts — pure elementwise ops, so XLA
+    fuses the whole pass.  16 iterations thin strokes up to ~32 px wide.
+    """
+    ink = ink.astype(jnp.int32)
+
+    def sub(im, phase):
+        # neighbors clockwise from north: P2..P9 (Zhang-Suen numbering)
+        P = [_shift2d(im, -1, 0), _shift2d(im, -1, 1), _shift2d(im, 0, 1),
+             _shift2d(im, 1, 1), _shift2d(im, 1, 0), _shift2d(im, 1, -1),
+             _shift2d(im, 0, -1), _shift2d(im, -1, -1)]
+        Bn = sum(P)
+        seq = P + [P[0]]
+        A = sum(((seq[i] == 0) & (seq[i + 1] == 1)).astype(jnp.int32)
+                for i in range(8))
+        cond = (im == 1) & (Bn >= 2) & (Bn <= 6) & (A == 1)
+        if phase == 0:
+            cond &= (P[0] * P[2] * P[4] == 0) & (P[2] * P[4] * P[6] == 0)
+        else:
+            cond &= (P[0] * P[2] * P[6] == 0) & (P[0] * P[4] * P[6] == 0)
+        return im * (1 - cond.astype(jnp.int32))
+
+    def body(_, im):
+        return sub(sub(im, 0), 1)
+
+    return jax.lax.fori_loop(0, iters, body, ink)
+
+
+def normalize_line(img: jnp.ndarray) -> jnp.ndarray:
+    """'normalization' augmentation: deskew, then reduce strokes to a
+    uniform-thickness skeleton (Otsu -> thinning -> circular dilate ->
+    3x3 box blur), as ``normalize_line.py:66-84`` / ``hw_dataset.py:138-140``.
+
+    The reference caches normalized images on disk because its host pipeline
+    is slow; this version runs on-device per batch so no cache is needed.
+    Input/output in [-1, 1] with ink positive.
+    """
+    u8 = _to_u8_scale(img)
+    th = jax.vmap(otsu_threshold)(u8)            # per-sample Otsu
+    ink = (u8[..., 0] <= th[:, None, None]).astype(jnp.int32)
+    sk = skeletonize(ink).astype(jnp.float32)[..., None]
+    # circular dilate r=1 (3x3 cross) then 3x3 box blur
+    cross = jnp.array([[0., 1., 0.], [1., 1., 1.], [0., 1., 0.]])
+    k = cross[:, :, None, None]
+    d = jax.lax.conv_general_dilated(
+        sk, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    d = jnp.clip(d, 0.0, 1.0)
+    blur = jnp.ones((3, 3, 1, 1)) / 9.0
+    out = jax.lax.conv_general_dilated(
+        d, blur, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out * 2.0 - 1.0
+
+
 def apply_augmentation(kind: Optional[str], img: jnp.ndarray,
                        fg_mask: Optional[jnp.ndarray], rng: jax.Array,
                        max_stretch: float = 0.4,
@@ -226,6 +290,9 @@ def apply_augmentation(kind: Optional[str], img: jnp.ndarray,
     B = img.shape[0]
     # "augmentation": true in reference configs means brightness+warp
     # (hw_dataset.py:143-152); strings select specific pipelines
+    if isinstance(kind, str) and "normalization" in kind:
+        # deskew + skeleton normalization (hw_dataset.py:138-140)
+        return normalize_line(deskew(img)), fg_mask, one
     if isinstance(kind, str) and "affine" in kind:
         k1, k2 = jax.random.split(rng)
         stretch = jax.random.uniform(k1, (), minval=1 - max_stretch,

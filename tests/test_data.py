@@ -178,3 +178,29 @@ def test_make_mask_covers_ink():
     assert tb.shape == (1, 2, img.shape[2])
     assert center.shape == (1, img.shape[2])
     assert 0 < float(center[0, img.shape[2] // 4]) < 64
+
+
+def test_skeletonize_thins_bar():
+    from handwriting_line_generation_tpu.ops.augment import skeletonize
+    ink = np.zeros((1, 32, 64), np.int32)
+    ink[0, 10:20, 8:56] = 1
+    sk = np.asarray(skeletonize(jnp.asarray(ink)))
+    assert sk.sum() > 20                      # skeleton survives
+    assert (sk[0].sum(axis=1) > 0).sum() <= 3  # 10px bar -> ~1px line
+    assert np.all((sk == 0) | (ink == 1))     # skeleton subset of ink
+
+
+def test_normalization_augmentation_path():
+    from handwriting_line_generation_tpu.ops.augment import (
+        apply_augmentation, normalize_line)
+    ink = np.zeros((2, 32, 64, 1), np.float32)
+    ink[:, 12:18, 8:56, 0] = 1.0
+    img = jnp.asarray(np.where(ink > 0, 1.0, -1.0))
+    out = normalize_line(img)
+    assert out.shape == img.shape
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+    # normalized strokes are thinner: less ink mass than the input bar
+    assert float((out > 0).sum()) < float((img > 0).sum())
+    o, m, s = apply_augmentation("normalization", img, None,
+                                 jax.random.PRNGKey(0))
+    assert o.shape == img.shape and float(s) == 1.0

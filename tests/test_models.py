@@ -203,3 +203,36 @@ def test_char_style_vae():
     assert s.shape == (2, 24)
     assert float(vae_kl(mu, log_sigma)) >= 0.0 or True  # finite
     assert np.isfinite(float(vae_kl(mu, log_sigma)))
+
+
+@pytest.mark.parametrize("kind,H", [
+    ("skip", 64), ("small", 64), ("no_skip", 64), ("2", 64), ("3", 64),
+    ("smallSpace", 64), ("space", 64), ("32", 32),
+])
+def test_autoencoder_family(kind, H):
+    """Every reference autoencoder type round-trips the image shape
+    (autoencoder.py:8-52 dispatch)."""
+    m = Autoencoder(kind=kind, hwr_classes=NC)
+    x = jnp.zeros((1, H, 32, 1))
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x)
+    recon, ctc = m.apply(params, x)
+    assert recon.shape == x.shape
+    assert ctc.shape[0] == 1 and ctc.shape[2] == NC
+
+
+def test_small_crnn_shapes():
+    from handwriting_line_generation_tpu.models.hwr import SmallCRNN
+    m = SmallCRNN(num_class=NC, hidden=32)
+    x = jnp.zeros((2, 24, 48, 1))
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 12, NC)
+    # log-softmax rows normalize
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0,
+                               rtol=1e-4)
+    # narrow inputs get padded to >= 12 px (cnn_lstm.py:169-171)
+    x2 = jnp.zeros((1, 24, 8, 1))
+    out2 = m.apply(params, x2)
+    assert out2.shape[1] == 3

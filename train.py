@@ -26,7 +26,16 @@ def main():
     ap.add_argument("-a", "--override", action="append",
                     default=[], metavar="PATH=VALUE",
                     help="nested config override, e.g. -a trainer.iterations=100")
+    ap.add_argument("--debug", action="store_true",
+                    help="enable jax_debug_nans (the reference's "
+                         "autograd-anomaly mode, base_trainer.py:196-197)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the run into DIR")
     args = ap.parse_args()
+
+    if args.debug:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     from handwriting_line_generation_tpu.config import (apply_overrides,
                                                     load_config)
@@ -58,7 +67,13 @@ def main():
         trainer = GanTrainer(cfg)
     print(f"training '{cfg.name}' ({kind}) for "
           f"{cfg.trainer.iterations} iterations", flush=True)
-    trainer.train(on_log=log)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            trainer.train(on_log=log)
+        print(f"profiler trace written to {args.profile}", flush=True)
+    else:
+        trainer.train(on_log=log)
 
 
 if __name__ == "__main__":
