@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--save-styles", action="store_true")
     ap.add_argument("--save-spaced", action="store_true")
+    ap.add_argument("--save-preds", action="store_true",
+                    help="per-sample prediction CSV (new_eval save_preds)")
+    ap.add_argument("--save-nns", action="store_true",
+                    help="style-space nearest-neighbor CSV (new_eval save_nns)")
     ap.add_argument("-a", "--override", action="append",
                     default=[], metavar="PATH=VALUE",
                     help="nested config override, e.g. -a trainer.iterations=100")
@@ -46,7 +50,9 @@ def main():
     metrics = ev.run(batcher, args.max_batches, args.out_dir,
                      save_images=args.save_images,
                      save_styles=args.save_styles,
-                     save_spaced=args.save_spaced)
+                     save_spaced=args.save_spaced,
+                     save_preds=args.save_preds,
+                     save_nns=args.save_nns)
     print(json.dumps(metrics, indent=2))
 
 

@@ -22,7 +22,9 @@ from handwriting_line_generation_tpu.models.hw_with_style import (
     HWWithStyle, _flat_style,
 )
 from handwriting_line_generation_tpu.ops.ctc import mask_frames_to_blank
-from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
+from handwriting_line_generation_tpu.utils.error_rates import (
+    batch_cer_wer, cer as cer_fn,
+)
 
 
 def _to_u8(img: np.ndarray) -> np.ndarray:
@@ -66,15 +68,26 @@ class Evaluator:
             out_dir: Optional[str] = None,
             save_images: bool = False,
             save_styles: bool = False,
-            save_spaced: bool = False) -> Dict:
-        """Aggregate metrics over a split; optional side-channel dumps."""
+            save_spaced: bool = False,
+            save_preds: bool = False,
+            save_nns: bool = False) -> Dict:
+        """Aggregate metrics over a split; optional side-channel dumps.
+
+        ``save_preds`` writes a per-sample prediction CSV
+        (``new_eval.py`` ``save_preds`` channel); ``save_nns`` writes each
+        sample's nearest neighbors in style space with author labels (the
+        memorization probe of ``new_eval.py`` ``save_nns``).
+        """
         import cv2
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
         totals: Dict[str, float] = {}
         styles_acc: List[np.ndarray] = []
+        nn_styles: List[np.ndarray] = []
+        nn_authors: List[str] = []
         spaced_acc: List[np.ndarray] = []
         authors: List[str] = []
+        pred_rows: List[str] = []
         n = 0
         rng = np.random.default_rng(0)
         for i, batch in enumerate(batcher.batches(rng, shuffle=False)):
@@ -91,11 +104,21 @@ class Evaluator:
             cer, wer = batch_cer_wer(batch["gt"], preds)
             totals["CER"] = totals.get("CER", 0) + cer
             totals["WER"] = totals.get("WER", 0) + wer
+            if save_preds:
+                for b, (gt, pr) in enumerate(zip(batch["gt"], preds)):
+                    au = batch["author"][b] if "author" in batch else ""
+                    pred_rows.append(
+                        f'{n},{b},"{au}","{_csv(gt)}","{_csv(pr)}",'
+                        f"{cer_fn(gt, pr):.4f}")
             # reconstruction
             if self.model.cfg.style.kind != "none" and \
                     self.model.cfg.generator.kind != "none":
                 recon, aux = self._autoencode(
                     image, label, lens, batch.get("a_batch_size", 1))
+                if save_nns:
+                    nn_styles.append(np.asarray(_flat_style(aux["style"])))
+                    nn_authors.extend(batch.get(
+                        "author", [""] * image.shape[0]))
                 auto = float(jnp.mean(jnp.abs(recon - image)))
                 totals["autoLoss"] = totals.get("autoLoss", 0) + auto
                 if save_styles:
@@ -120,4 +143,26 @@ class Evaluator:
         if save_spaced and spaced_acc and out_dir:
             np.savez_compressed(os.path.join(out_dir, "spaced.npz"),
                                 *spaced_acc)
+        if save_preds and pred_rows:
+            with open(os.path.join(out_dir or ".", "preds.csv"), "w") as f:
+                f.write("batch,index,author,gt,pred,cer\n")
+                f.write("\n".join(pred_rows) + "\n")
+        if save_nns and nn_styles:
+            s = np.concatenate(nn_styles)                  # [N, D]
+            d = np.linalg.norm(s[:, None] - s[None, :], axis=-1)
+            np.fill_diagonal(d, np.inf)
+            order = np.argsort(d, axis=1)[:, :3]
+            with open(os.path.join(out_dir or ".", "nns.csv"), "w") as f:
+                f.write("index,author,nn1,nn1_author,nn1_dist,"
+                        "nn2,nn2_author,nn2_dist,nn3,nn3_author,nn3_dist\n")
+                for i in range(s.shape[0]):
+                    cells = [str(i), f'"{nn_authors[i]}"']
+                    for j in order[i]:
+                        cells += [str(j), f'"{nn_authors[j]}"',
+                                  f"{d[i, j]:.4f}"]
+                    f.write(",".join(cells) + "\n")
         return out
+
+
+def _csv(s: str) -> str:
+    return s.replace('"', '""')

@@ -109,3 +109,26 @@ def test_hwr_trains_cpu():
     entries = []
     tr.train(on_log=entries.append)
     assert entries and np.isfinite(entries[-1]["loss"])
+
+
+def test_evaluator_side_channels(tmp_path):
+    """Evaluator dumps preds.csv / nns.csv / styles.npz (the new_eval.py
+    save_preds / save_nns / save_style side channels)."""
+    from handwriting_line_generation_tpu.data.datasets import get_charset
+    from handwriting_line_generation_tpu.inference.eval import Evaluator
+
+    cfg = _tiny_gan_cfg()
+    tr = GanTrainer(cfg)
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    tr.state = tr.init_state(next(it))
+    ev = Evaluator(tr.model, tr.state.params, get_charset(cfg.data))
+    out = ev.run(make_batcher(cfg.data, "train"), max_batches=2,
+                 out_dir=str(tmp_path), save_preds=True, save_nns=True,
+                 save_styles=True)
+    assert "CER" in out and "autoLoss" in out
+    preds = (tmp_path / "preds.csv").read_text().strip().splitlines()
+    assert preds[0].startswith("batch,index,author,gt,pred,cer")
+    assert len(preds) > 1 and preds[1].count(",") >= 5
+    nns = (tmp_path / "nns.csv").read_text().strip().splitlines()
+    assert len(nns) == len(preds)  # header + one row per sample each
+    assert (tmp_path / "styles.npz").exists()
