@@ -24,6 +24,7 @@ Batch contract (mirrors ``author_hw_dataset.py:91-111``; batch-major):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from collections import defaultdict
@@ -52,13 +53,24 @@ class LineRecord:
     load: Callable[[], np.ndarray]        # -> normalized [H, W] float32
 
 
+@functools.lru_cache(maxsize=48)
+def _imread_gray(img_path: str) -> np.ndarray:
+    """Decoded-form LRU cache: every IAM form page holds ~9 line records,
+    so per-line imread (the reference decodes per __getitem__,
+    ``hw_dataset.py:120``) re-decodes each page ~9x.  48 grayscale pages
+    ~= 100 MB, bounded."""
+    img = cv2.imread(img_path, 0)
+    if img is None:
+        raise FileNotFoundError(img_path)
+    img.setflags(write=False)
+    return img
+
+
 def load_crop_resize(img_path: str, bounds, img_height: int,
                      max_width: int) -> np.ndarray:
     """imread + line crop + height resize with width cap
     (``author_hw_dataset.py:374-397`` semantics), normalized 1 - px/128."""
-    img = cv2.imread(img_path, 0)
-    if img is None:
-        raise FileNotFoundError(img_path)
+    img = _imread_gray(img_path)
     y0, y1, x0, x1 = bounds
     y0, x0 = max(0, y0), max(0, x0)
     img = img[y0:y1, x0:x1]

@@ -75,3 +75,42 @@ def test_cer_whitespace_normalized():
 def test_wer():
     assert wer("the quick fox", "the slow fox") == pytest.approx(1 / 3)
     assert wer("", "word") == 1.0
+
+
+def test_native_imageops_matches_opencv():
+    """native/imageops.c resize_norm tracks cv2 INTER_CUBIC + normalize
+    within u8 rounding; pack_batch bit-exact vs numpy fill+assign."""
+    pytest.importorskip("cv2")
+    import cv2
+    try:
+        from handwriting_line_generation_tpu.utils._imageops import (
+            pack_batch, resize_norm)
+    except ImportError:
+        pytest.skip("libimageops.so not built (make -C native)")
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 256, (61, 203), np.uint8)
+    ours = resize_norm(src, 64, 160)
+    ref = 1.0 - cv2.resize(src, (160, 64),
+                           interpolation=cv2.INTER_CUBIC).astype(
+        np.float32) / 128.0
+    assert np.abs(ours - ref).max() < 0.06
+
+    imgs = [rng.standard_normal((16, w)).astype(np.float32)
+            for w in (5, 12, 16)]
+    packed = pack_batch(imgs, 16, -1.0)
+    expect = np.full((3, 16, 16), -1.0, np.float32)
+    for i, im in enumerate(imgs):
+        expect[i, :, :im.shape[1]] = im
+    np.testing.assert_array_equal(packed, expect)
+
+
+def test_form_decode_cache(tmp_path):
+    """_imread_gray caches per path and returns read-only arrays."""
+    pytest.importorskip("cv2")
+    import cv2
+    from handwriting_line_generation_tpu.data.datasets import _imread_gray
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, np.zeros((8, 8), np.uint8))
+    a = _imread_gray(p)
+    b = _imread_gray(p)
+    assert a is b and not a.flags.writeable
