@@ -37,7 +37,9 @@ from handwriting_line_generation_tpu.charset import (
     Charset, IAM_CHARSET, RIMES_CHARSET,
 )
 from handwriting_line_generation_tpu.config import DataConfig
-from handwriting_line_generation_tpu.data.iam import parse_form_xml
+from handwriting_line_generation_tpu.data.iam import (
+    parse_form_words, parse_form_xml,
+)
 from handwriting_line_generation_tpu.data.rimes import parse_rimes_lines_xml
 from handwriting_line_generation_tpu.data.synthetic import (
     SyntheticCorpus, normalize_image,
@@ -109,16 +111,19 @@ def fg_mask_of(img_norm: np.ndarray) -> np.ndarray:
 
 def iam_records(data_dir: str, split: str, img_height: int,
                 max_width: int,
-                sets_path: Optional[str] = None) -> List[LineRecord]:
-    """IAM line records for a split, via a ``sets.json``
-    ({split: [form names]}) next to the data or given explicitly."""
+                sets_path: Optional[str] = None,
+                words: bool = False) -> List[LineRecord]:
+    """IAM line (or word, ``parseIAM.py:11-86`` lineage) records for a
+    split, via a ``sets.json`` ({split: [form names]}) next to the data
+    or given explicitly."""
     sets_path = sets_path or os.path.join(data_dir, "sets.json")
     with open(sets_path) as f:
         names = json.load(f)[split]
+    parse = parse_form_words if words else parse_form_xml
     records: List[LineRecord] = []
     for name in names:
         xml = os.path.join(data_dir, "xmls", name + ".xml")
-        lines, writer = parse_form_xml(xml)
+        lines, writer = parse(xml)
         img_path = os.path.join(data_dir, "forms", name + ".png")
         for line in lines:
             records.append(LineRecord(
@@ -293,15 +298,16 @@ def make_batcher(cfg: DataConfig, split: str):
         records = synthetic_records(split, cfg.img_height, charset,
                                     n_authors=cfg.synthetic_authors,
                                     lines_per_author=cfg.synthetic_lines)
-    elif cfg.dataset in ("iam_author", "iam_lines"):
+    elif cfg.dataset in ("iam_author", "iam_lines", "iam_words"):
         records = iam_records(cfg.data_dir, split, cfg.img_height,
-                              cfg.max_width)
+                              cfg.max_width,
+                              words=cfg.dataset == "iam_words")
     elif cfg.dataset == "rimes_author":
         records = rimes_records(cfg.data_dir, split, cfg.img_height,
                                 cfg.max_width)
     else:
         raise ValueError(f"unknown dataset {cfg.dataset!r}")
-    if cfg.dataset == "iam_lines":
+    if cfg.dataset in ("iam_lines", "iam_words"):
         return LineBatcher(records, charset, cfg.batch_size, cfg,
                            with_fg=False)
     return AuthorBatcher(records, charset, cfg.batch_size, cfg.a_batch_size,

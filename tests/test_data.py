@@ -204,3 +204,37 @@ def test_normalization_augmentation_path():
     o, m, s = apply_augmentation("normalization", img, None,
                                  jax.random.PRNGKey(0))
     assert o.shape == img.shape and float(s) == 1.0
+
+
+def test_parse_iam_words_and_word_dataset(tmp_path):
+    """Word-level parsing (parseIAM.py:11-86 lineage) and the iam_words
+    dataset kind end-to-end through make_batcher."""
+    import json
+
+    import cv2
+
+    from handwriting_line_generation_tpu.data.iam import parse_form_words
+    p = tmp_path / "form.xml"
+    p.write_text(IAM_XML)
+    words, writer = parse_form_words(str(p))
+    assert writer == "000"
+    assert [w.text for w in words] == ["A", "MOVE", "second"]
+    # MOVE spans both cmp boxes
+    mv = words[1]
+    assert mv.x1 - mv.x0 >= 100
+
+    # a fake on-disk IAM layout
+    (tmp_path / "xmls").mkdir()
+    (tmp_path / "forms").mkdir()
+    (tmp_path / "xmls" / "a01-000u.xml").write_text(IAM_XML)
+    cv2.imwrite(str(tmp_path / "forms" / "a01-000u.png"),
+                np.full((200, 300), 255, np.uint8))
+    (tmp_path / "sets.json").write_text(json.dumps(
+        {"train": ["a01-000u"], "valid": [], "test": []}))
+    cfg = DataConfig(dataset="iam_words", data_dir=str(tmp_path),
+                     batch_size=3, width_buckets=(64, 128),
+                     label_buckets=(8,))
+    b = make_batcher(cfg, "train")
+    batch = next(iter(b.batches(np.random.default_rng(0))))
+    assert batch["image"].shape[0] == 3
+    assert set(batch["gt"]) == {"A", "MOVE", "second"}
