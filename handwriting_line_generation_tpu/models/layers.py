@@ -32,6 +32,8 @@ from flax import linen as nn
 
 def group_count(channels: int) -> int:
     """Number of GroupNorm groups per the reference's rule."""
+    if channels <= 1:
+        return 1        # degenerate case (reference crashes here)
     goal = 8 if channels >= 32 else 4
     if channels % goal == 0:
         return goal
