@@ -8,6 +8,7 @@ our width buckets are already multiples of 8 so recon width == input width.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -129,21 +130,27 @@ class AutoTrainer:
         if ckpt.has_latest():
             self.state = ckpt.latest(self.state)
         start = int(self.state.step)
-        for i in range(start + 1, iterations + 1):
-            batch = next(it)
-            self.state, out = self.train_step(
-                self.state, jnp.asarray(batch["image"]),
-                jnp.asarray(batch["label"]),
-                jnp.asarray(batch["label_lengths"]))
-            log.step({k: float(v) for k, v in out.items() if k != "logp"})
-            if i % log_every == 0:
-                entry = log.record(i)
-                if on_log:
-                    on_log(entry)
-            if val_every and i % val_every == 0:
-                val = self.validate(valid_b, val_batches)
-                log.record(i, val)
-                if on_log:
-                    on_log(val)
-            ckpt.maybe_save(i, self.state, {"name": c.name})
+        try:
+            for i in range(start + 1, iterations + 1):
+                batch = next(it)
+                self.state, out = self.train_step(
+                    self.state, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["label"]),
+                    jnp.asarray(batch["label_lengths"]))
+                log.step({k: float(v) for k, v in out.items()
+                          if k != "logp"})
+                if i % log_every == 0:
+                    entry = log.record(i)
+                    if on_log:
+                        on_log(entry)
+                if val_every and i % val_every == 0:
+                    val = self.validate(valid_b, val_batches)
+                    log.record(i, val)
+                    if on_log:
+                        on_log(val)
+                ckpt.maybe_save(i, self.state, {"name": c.name})
+        finally:
+            # persist curves for graph.py (the reference embeds its logger
+            # in every checkpoint, base_trainer.py:348-372)
+            log.save(os.path.join(ckpt.directory, "train_log.json"))
         return log

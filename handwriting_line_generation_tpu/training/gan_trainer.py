@@ -29,6 +29,7 @@ length.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Iterator, List, Optional, Tuple
@@ -488,20 +489,25 @@ class GanTrainer:
             self._place = lambda x: jax.device_put(x, bs)
 
         start = int(self.state.step)
-        for i in range(start, iterations):
-            lesson = self.curriculum.get_lesson(i)
-            out = self.run_lesson(lesson, it)
-            log.step({k: float(v) for k, v in out.items()})
-            if (i + 1) % log_every == 0:
-                entry = log.record(i + 1)
-                if on_log:
-                    on_log(entry)
-            if val_every and (i + 1) % val_every == 0:
-                val = self.validate(valid_b, val_batches)
-                log.record(i + 1, val)
-                if on_log:
-                    on_log(val)
-            ckpt.maybe_save(i + 1, self.state, {"name": c.name})
+        try:
+            for i in range(start, iterations):
+                lesson = self.curriculum.get_lesson(i)
+                out = self.run_lesson(lesson, it)
+                log.step({k: float(v) for k, v in out.items()})
+                if (i + 1) % log_every == 0:
+                    entry = log.record(i + 1)
+                    if on_log:
+                        on_log(entry)
+                if val_every and (i + 1) % val_every == 0:
+                    val = self.validate(valid_b, val_batches)
+                    log.record(i + 1, val)
+                    if on_log:
+                        on_log(val)
+                ckpt.maybe_save(i + 1, self.state, {"name": c.name})
+        finally:
+            # persist curves for graph.py (the reference embeds its logger
+            # in every checkpoint, base_trainer.py:348-372)
+            log.save(os.path.join(ckpt.directory, "train_log.json"))
         return log
 
     def run_lesson(self, lesson: List[str], data_iter: Iterator) -> Dict:

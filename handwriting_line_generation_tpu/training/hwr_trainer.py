@@ -12,6 +12,7 @@ from the returned log-probs (eval only).
 
 from __future__ import annotations
 
+import os
 import signal
 from dataclasses import dataclass
 from functools import partial
@@ -210,4 +211,7 @@ class HWRTrainer:
                     break
         finally:
             signal.signal(signal.SIGINT, old)
+            # persist curves for graph.py (the reference embeds its logger
+            # in every checkpoint, base_trainer.py:348-372)
+            log.save(os.path.join(ckpt.directory, "train_log.json"))
         return log
