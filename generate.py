@@ -16,10 +16,15 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument("-k", "--checkpoint", required=True)
-    ap.add_argument("-s", "--styles", required=True, help="styles .npz")
+    ap.add_argument("-s", "--styles", default=None,
+                    help="styles .npz (required except in from-to mode)")
     ap.add_argument("-m", "--mode", default="render",
                     choices=["render", "interp", "stretch", "math",
-                             "author", "mturk"])
+                             "author", "mturk", "from-to"])
+    ap.add_argument("--from-image", default=None,
+                    help="from-to mode: source handwriting image")
+    ap.add_argument("--to-image", default=None,
+                    help="from-to mode: target handwriting image")
     ap.add_argument("-t", "--text", default="the quick brown fox")
     ap.add_argument("--text-file", default=None,
                     help="file with one line of text per render")
@@ -57,8 +62,10 @@ def main():
         trainer.init_state(first))
     session = GenerationSession(trainer.model, state.params,
                                 get_charset(cfg.data))
-    data = load_styles(args.styles)
-    bank = data["styles"]
+    if args.mode != "from-to" and not args.styles:
+        ap.error("-s/--styles is required except in from-to mode")
+    data = load_styles(args.styles) if args.styles else None
+    bank = data["styles"] if data else None
 
     if args.text_file:
         with open(args.text_file) as f:
@@ -86,6 +93,33 @@ def main():
         by = styles_by_author(data)
         author = args.author or sorted(by)[0]
         imgs = session.author_samples(texts, by, author, seed=args.seed)
+    elif args.mode == "from-to":
+        # reference 'f' mode (generate.py:655-688): extract the style of two
+        # handwriting images and sweep between them
+        if not (args.from_image and args.to_image):
+            ap.error("from-to mode needs --from-image and --to-image")
+        import jax.numpy as jnp
+
+        from handwriting_line_generation_tpu.data.synthetic import \
+            normalize_image
+        from handwriting_line_generation_tpu.inference.styles import \
+            StyleExtractor
+
+        def style_of(path):
+            img = cv2.imread(path, 0)
+            if img is None:
+                raise FileNotFoundError(path)
+            h = cfg.data.img_height
+            w = max(4, round(img.shape[1] * h / img.shape[0]) // 4 * 4)
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+            x = normalize_image(img)[None, :, :, None]
+            s, _ = StyleExtractor(trainer.model, state.params)._extract(
+                jnp.asarray(x), 1)
+            return np.asarray(s)[0]
+
+        imgs = session.interpolate(texts[0], style_of(args.from_image),
+                                   style_of(args.to_image),
+                                   steps=args.count, seed=args.seed)
     else:  # mturk
         imgs = np.stack(session.mturk_batch(texts, bank, seed=args.seed))
 
