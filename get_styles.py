@@ -19,6 +19,9 @@ def main():
                     help="use the test split instead of train/valid")
     ap.add_argument("-o", "--out-dir", default=None)
     ap.add_argument("-n", "--max-batches", type=int, default=None)
+    ap.add_argument("-S", "--through-emb", action="store_true",
+                    help="pass styles through the generator's style_emb "
+                         "MLP before saving (get_styles.py:184-186)")
     ap.add_argument("-a", "--override", action="append",
                     default=[], metavar="PATH=VALUE",
                     help="nested config override, e.g. -a trainer.iterations=100")
@@ -51,7 +54,8 @@ def main():
     out_dir = args.out_dir or args.checkpoint
     for split in splits:
         b = make_batcher(cfg.data, split)
-        data = ex.extract_dataset(b, args.max_batches)
+        data = ex.extract_dataset(b, args.max_batches,
+                                  through_emb=args.through_emb)
         path = os.path.join(out_dir, f"{split}_styles_{it}.npz")
         save_styles(path, data)
         print(f"wrote {len(data['authors'])} styles -> {path}", flush=True)

@@ -12,6 +12,8 @@ from collections import defaultdict
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +38,16 @@ class StyleExtractor:
         style, pred = self._fn(self.params, image)
         return _flat_style(style), pred
 
+    def _apply_emb(self, style):
+        """Pass raw styles through the generator's style-mapping MLP
+        (the ``-S`` option of ``get_styles.py:184-186``)."""
+        from handwriting_line_generation_tpu.models.generator import StyleMLP
+        sub = self.params["generator"]["StyleMLP_0"]
+        n_layers = sum(1 for k in sub if k.startswith("Dense_"))
+        style_dim = int(np.asarray(sub["Dense_0"]["kernel"]).shape[1])
+        mlp = StyleMLP(style_dim=style_dim, n_layers=n_layers)
+        return mlp.apply({"params": sub}, style)
+
     def extract_dataset(self, batcher, max_batches: Optional[int] = None,
                         through_emb: bool = False) -> Dict:
         """-> {'styles': [N, D], 'authors': [N], 'ids': [N]} (one entry per
@@ -48,6 +60,8 @@ class StyleExtractor:
                 break
             a = batch.get("a_batch_size", 1)
             style, _ = self._extract(jnp.asarray(batch["image"]), a)
+            if through_emb:
+                style = self._apply_emb(style)
             s = np.asarray(style)[::a]                  # one per author group
             styles.append(s)
             authors.extend(batch["author"][::a])
@@ -58,6 +72,9 @@ class StyleExtractor:
 
 
 def save_styles(path: str, data: Dict) -> None:
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     np.savez_compressed(path, styles=data["styles"],
                         authors=np.array(data["authors"]),
                         ids=np.array(data["ids"]))
@@ -80,12 +97,15 @@ def styles_by_author(data: Dict) -> Dict[str, np.ndarray]:
 # --- style-space statistics (play_styles.py / eval_writer_id.py) ----------
 
 
-def inter_intra_distances(data: Dict) -> Dict[str, float]:
+def inter_intra_distances(data: Dict, metric: str = "l2") -> Dict[str, float]:
     """Mean/std of inter- vs intra-author style distances
     (``play_styles.py:25-39``; BASELINE.md rows 1-3)."""
     styles = np.asarray(data["styles"])
     authors = np.asarray(data["authors"])
-    d = np.linalg.norm(styles[:, None] - styles[None, :], axis=-1)
+    if metric == "l1":
+        d = np.sum(np.abs(styles[:, None] - styles[None, :]), axis=-1)
+    else:
+        d = np.linalg.norm(styles[:, None] - styles[None, :], axis=-1)
     same = authors[:, None] == authors[None, :]
     triu = np.triu(np.ones_like(same, bool), 1)
     intra = d[same & triu]
