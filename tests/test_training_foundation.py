@@ -167,3 +167,16 @@ def test_lr_schedules():
     swa, n = swa_update(swa, {"w": jnp.ones(2) * 4}, jnp.zeros(()))
     swa, n = swa_update(swa, {"w": jnp.ones(2) * 2}, n)
     np.testing.assert_allclose(np.asarray(swa["w"]), 3.0)
+
+
+def test_metric_registry():
+    import jax.numpy as jnp
+
+    from handwriting_line_generation_tpu.training.metrics import (
+        get_metric, mean_iou)
+    acc = get_metric("class_accuracy")
+    logits = jnp.asarray([[0.1, 0.9], [0.8, 0.2]])
+    assert float(acc(logits, jnp.asarray([1, 0]))) == 1.0
+    a = jnp.zeros((1, 4, 4)).at[0, :2].set(1.0)
+    b = jnp.zeros((1, 4, 4)).at[0, 1:3].set(1.0)
+    assert abs(float(mean_iou(a, b)) - 1 / 3) < 1e-6
