@@ -20,7 +20,7 @@ def main():
                     help="styles .npz (required except in from-to mode)")
     ap.add_argument("-m", "--mode", default="render",
                     choices=["render", "interp", "stretch", "math",
-                             "author", "mturk", "from-to"])
+                             "author", "mturk", "from-to", "vae"])
     ap.add_argument("--from-image", default=None,
                     help="from-to mode: source handwriting image")
     ap.add_argument("--to-image", default=None,
@@ -62,8 +62,8 @@ def main():
         trainer.init_state(first))
     session = GenerationSession(trainer.model, state.params,
                                 get_charset(cfg.data))
-    if args.mode != "from-to" and not args.styles:
-        ap.error("-s/--styles is required except in from-to mode")
+    if args.mode not in ("from-to", "vae") and not args.styles:
+        ap.error("-s/--styles is required except in from-to/vae modes")
     data = load_styles(args.styles) if args.styles else None
     bank = data["styles"] if data else None
 
@@ -93,6 +93,13 @@ def main():
         by = styles_by_author(data)
         author = args.author or sorted(by)[0]
         imgs = session.author_samples(texts, by, author, seed=args.seed)
+    elif args.mode == "vae":
+        # reference 'v' mode: sample styles from the VAE prior N(0, I)
+        # (generate.py:444-470; meaningful with a VAE-trained extractor,
+        # style.vae=true)
+        z = rng.standard_normal(
+            (len(texts), cfg.model.style.style_dim)).astype(np.float32)
+        imgs = session.render(texts, z, seed=args.seed)
     elif args.mode == "from-to":
         # reference 'f' mode (generate.py:655-688): extract the style of two
         # handwriting images and sweep between them

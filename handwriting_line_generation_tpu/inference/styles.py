@@ -155,9 +155,12 @@ def umap_embed(data: Dict, n_components: int = 2) -> np.ndarray:
 
 
 def plot_style_map(data: Dict, path: str,
-                   author_mean: bool = False) -> None:
+                   author_mean: bool = False,
+                   thumbnail_dir: Optional[str] = None) -> None:
     """Scatter of the 2-D embedding, per-author colors
-    (``umap_styles.py:56-88``)."""
+    (``umap_styles.py:56-88``); with ``thumbnail_dir``, place per-style
+    line-image thumbnails named ``<id>.png`` at their embedding positions
+    (the reference's image mode, ``umap_styles.py:105-148``)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -174,6 +177,16 @@ def plot_style_map(data: Dict, path: str,
     for i, a in enumerate(uniq):
         m = authors == a
         ax.scatter(emb[m, 0], emb[m, 1], s=12, color=cmap(i % 20), label=a)
+    if thumbnail_dir:
+        from matplotlib.offsetbox import AnnotationBbox, OffsetImage
+        for j, sid in enumerate(map(str, data["ids"])):
+            f = os.path.join(thumbnail_dir, f"{sid}.png")
+            if not os.path.exists(f):
+                continue
+            img = plt.imread(f)
+            ab = AnnotationBbox(OffsetImage(img, zoom=0.25, cmap="gray"),
+                                (emb[j, 0], emb[j, 1]), frameon=False)
+            ax.add_artist(ab)
     if len(uniq) <= 20:
         ax.legend(fontsize=6)
     fig.savefig(path, dpi=120)
