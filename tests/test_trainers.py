@@ -132,3 +132,45 @@ def test_evaluator_side_channels(tmp_path):
     nns = (tmp_path / "nns.csv").read_text().strip().splitlines()
     assert len(nns) == len(preds)  # header + one row per sample each
     assert (tmp_path / "styles.npz").exists()
+
+
+def test_data_parallel_matches_single_device():
+    """DP over the virtual 8-device mesh reproduces single-device losses:
+    the psum-mean gradient under pjit equals the full-batch gradient."""
+    from handwriting_line_generation_tpu.config import MeshConfig
+    from handwriting_line_generation_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicate_state)
+
+    c = Config(name="dp")
+    c.data = DataConfig(dataset="synthetic", batch_size=8,
+                        width_buckets=(96,), label_buckets=(6,),
+                        augmentation=None)
+    c.model = ModelConfig(hwr=HWRConfig(kind="cnn_only", norm="group"))
+    c.optimizer = OptimConfig(lr=1e-3)
+    c.trainer = TrainerConfig(kind="hwr", iterations=3, log_step=1,
+                              val_step=0, save_step=10 ** 9,
+                              save_step_minor=10 ** 9, save_dir="/tmp/dp")
+    it = forever(make_batcher(c.data, "train"), seed=0)
+    batches = [next(it) for _ in range(3)]
+
+    def run(mesh):
+        tr = HWRTrainer(c)
+        tr.state = tr.init_state(batches[0], seed=0)
+        place = lambda x: x
+        if mesh is not None:
+            tr.state = replicate_state(mesh, tr.state)
+            bs = batch_sharding(mesh)
+            place = lambda x: jax.device_put(x, bs)
+        losses = []
+        for b in batches:
+            tr.state, out = tr.train_step(
+                tr.state, place(jnp.asarray(b["image"])),
+                place(jnp.asarray(b["label"])),
+                place(jnp.asarray(b["label_lengths"])),
+                place(jnp.asarray(b["width"])))
+            losses.append(float(out["loss"]))
+        return losses
+
+    single = run(None)
+    multi = run(make_mesh(MeshConfig(data=8), jax.devices()[:8]))
+    np.testing.assert_allclose(single, multi, rtol=2e-4)
