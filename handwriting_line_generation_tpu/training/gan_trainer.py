@@ -510,6 +510,39 @@ class GanTrainer:
             log.save(os.path.join(ckpt.directory, "train_log.json"))
         return log
 
+    def pseudo_label_unknown(self, batch: Dict) -> Dict:
+        """Replace ``$UNKOWN$`` transcriptions with the frozen HWR's greedy
+        decode so unlabeled samples still contribute to alignment-dependent
+        losses (``hw_with_style_trainer.py:620-656``).  Static-shape twist:
+        the reference drops samples whose decode is empty; we keep them with
+        length 0, which the width-masked CTC and count losses treat as
+        no-target."""
+        if "$UNKOWN$" not in batch.get("gt", []):
+            return batch
+        if getattr(self, "_recog_fn", None) is None:
+            self._recog_fn = jax.jit(lambda p, im, fr: mask_frames_to_blank(
+                self.model.apply({"params": p}, im, method="recognize"), fr))
+        image = jnp.asarray(batch["image"])
+        frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
+                          image.shape[2] // 4)
+        logp = self._recog_fn(self.state.params, image, frames)
+        preds = ctc_greedy_decode_batch(np.asarray(logp), self.charset)
+        label = np.array(batch["label"], copy=True)
+        lens = np.array(batch["label_lengths"], copy=True)
+        gt = list(batch["gt"])
+        L = label.shape[1]
+        for b, g in enumerate(gt):
+            if g != "$UNKOWN$":
+                continue
+            enc = self.charset.encode(preds[b])[:L]
+            label[b] = 0
+            label[b, :len(enc)] = enc
+            lens[b] = len(enc)
+            gt[b] = preds[b]
+        out = dict(batch)
+        out.update(label=label, label_lengths=lens, gt=gt)
+        return out
+
     def run_lesson(self, lesson: List[str], data_iter: Iterator) -> Dict:
         place = getattr(self, "_place", lambda x: x)
         gen_only = all(l[:3] == "gen" or l == "no-step" for l in lesson)
@@ -521,7 +554,7 @@ class GanTrainer:
             self.state, out = self.step_gen_nostep(
                 self.state, label, lens, self.gen_spaced_len)
             return out
-        batch = next(data_iter)
+        batch = self.pseudo_label_unknown(next(data_iter))
         image = place(jnp.asarray(batch["image"]))
         label = place(jnp.asarray(batch["label"]))
         lens = place(jnp.asarray(batch["label_lengths"]))

@@ -109,6 +109,9 @@ def test_hwr_trains_cpu():
     entries = []
     tr.train(on_log=entries.append)
     assert entries and np.isfinite(entries[-1]["loss"])
+    # curves persisted for graph.py
+    import os
+    assert os.path.exists("/tmp/h/h/train_log.json")
 
 
 def test_evaluator_side_channels(tmp_path):
@@ -174,3 +177,26 @@ def test_data_parallel_matches_single_device():
     single = run(None)
     multi = run(make_mesh(MeshConfig(data=8), jax.devices()[:8]))
     np.testing.assert_allclose(single, multi, rtol=2e-4)
+
+
+def test_unknown_gt_pseudo_labels():
+    """$UNKOWN$ transcriptions are replaced by the frozen HWR's decode
+    before alignment-dependent lessons (hw_with_style_trainer.py:620-656)."""
+    cfg = _tiny_gan_cfg()
+    tr = GanTrainer(cfg)
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    batch = next(it)
+    tr.state = tr.init_state(batch)
+    unk = dict(batch)
+    unk["gt"] = ["$UNKOWN$"] + list(batch["gt"][1:])
+    out = tr.pseudo_label_unknown(unk)
+    assert "$UNKOWN$" not in out["gt"]
+    # labeled samples untouched
+    np.testing.assert_array_equal(out["label"][1:], batch["label"][1:])
+    assert out["gt"][1:] == list(batch["gt"][1:])
+    # pseudo label consistent with its own gt string
+    enc = tr.charset.encode(out["gt"][0])[:out["label"].shape[1]]
+    assert out["label_lengths"][0] == len(enc)
+    np.testing.assert_array_equal(out["label"][0, :len(enc)], enc)
+    # a fully-labeled batch passes through identically (same object)
+    assert tr.pseudo_label_unknown(batch) is batch
