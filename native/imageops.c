@@ -33,50 +33,71 @@ static inline int clampi(int v, int lo, int hi) {
     return v < lo ? lo : (v > hi ? hi : v);
 }
 
-/* Bicubic resize of src (uint8, sh x sw, row stride ss) to dst
- * (float32, dh x dw, row stride ds), output = 1 - px/128. */
+#include <stdlib.h>
+
+/* Precompute 4-tap coefficients for one axis: for each of n outputs,
+ * 4 clamped source indices and 4 kernel weights (pixel-center mapping
+ * (i + .5) * scale - .5, as OpenCV). */
+static void make_taps(int n_src, int n_dst, int *idx, float *w) {
+    float scale = (float)n_src / (float)n_dst;
+    for (int i = 0; i < n_dst; ++i) {
+        float f = ((float)i + 0.5f) * scale - 0.5f;
+        int i0 = (int)(f >= 0 ? f : f - 1.0f);      /* floor */
+        float t = f - (float)i0;
+        for (int k = 0; k < 4; ++k) {
+            idx[4 * i + k] = clampi(i0 + k - 1, 0, n_src - 1);
+            w[4 * i + k] = cubic_w((float)(k - 1) - t);
+        }
+    }
+}
+
+/* Separable bicubic resize of src (uint8, sh x sw, row stride ss) to dst
+ * (float32, dh x dw, row stride ds), output = 1 - px/128.  Horizontal
+ * pass into a float scratch, then vertical with per-row coefficients
+ * computed once (the kernel is separable, so this equals the 2-D sum). */
 void resize_norm(const uint8_t *src, int sh, int sw, long ss,
                  float *dst, int dh, int dw, long ds) {
     if (sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0) return;
-    float sy = (float)sh / (float)dh;
-    float sx = (float)sw / (float)dw;
-    for (int y = 0; y < dh; ++y) {
-        /* pixel-center mapping as OpenCV: (y + .5) * scale - .5 */
-        float fy = ((float)y + 0.5f) * sy - 0.5f;
-        int y0 = (int)(fy >= 0 ? fy : fy - 1.0f);   /* floor */
-        float ty = fy - (float)y0;
-        float wy[4];
-        int iy[4];
-        for (int k = 0; k < 4; ++k) {
-            wy[k] = cubic_w((float)(k - 1) - ty);
-            iy[k] = clampi(y0 + k - 1, 0, sh - 1);
+    int *xi = (int *)malloc((size_t)dw * 4 * sizeof(int));
+    float *xw = (float *)malloc((size_t)dw * 4 * sizeof(float));
+    int *yi = (int *)malloc((size_t)dh * 4 * sizeof(int));
+    float *yw = (float *)malloc((size_t)dh * 4 * sizeof(float));
+    float *tmp = (float *)malloc((size_t)sh * dw * sizeof(float));
+    if (!xi || !xw || !yi || !yw || !tmp) {
+        free(xi); free(xw); free(yi); free(yw); free(tmp);
+        return;
+    }
+    make_taps(sw, dw, xi, xw);
+    make_taps(sh, dh, yi, yw);
+
+    for (int y = 0; y < sh; ++y) {                   /* horizontal pass */
+        const uint8_t *row = src + (long)y * ss;
+        float *out = tmp + (long)y * dw;
+        for (int x = 0; x < dw; ++x) {
+            const int *ix = xi + 4 * x;
+            const float *wx = xw + 4 * x;
+            out[x] = wx[0] * (float)row[ix[0]] + wx[1] * (float)row[ix[1]]
+                   + wx[2] * (float)row[ix[2]] + wx[3] * (float)row[ix[3]];
         }
+    }
+    for (int y = 0; y < dh; ++y) {                   /* vertical pass */
+        const int *iy = yi + 4 * y;
+        const float *wy = yw + 4 * y;
+        const float *r0 = tmp + (long)iy[0] * dw;
+        const float *r1 = tmp + (long)iy[1] * dw;
+        const float *r2 = tmp + (long)iy[2] * dw;
+        const float *r3 = tmp + (long)iy[3] * dw;
         float *out = dst + (long)y * ds;
         for (int x = 0; x < dw; ++x) {
-            float fx = ((float)x + 0.5f) * sx - 0.5f;
-            int x0 = (int)(fx >= 0 ? fx : fx - 1.0f);
-            float tx = fx - (float)x0;
-            float wx[4];
-            int ix[4];
-            for (int k = 0; k < 4; ++k) {
-                wx[k] = cubic_w((float)(k - 1) - tx);
-                ix[k] = clampi(x0 + k - 1, 0, sw - 1);
-            }
-            float acc = 0.0f;
-            for (int ky = 0; ky < 4; ++ky) {
-                const uint8_t *row = src + (long)iy[ky] * ss;
-                float r = wx[0] * (float)row[ix[0]]
-                        + wx[1] * (float)row[ix[1]]
-                        + wx[2] * (float)row[ix[2]]
-                        + wx[3] * (float)row[ix[3]];
-                acc += wy[ky] * r;
-            }
+            float acc = wy[0] * r0[x] + wy[1] * r1[x]
+                      + wy[2] * r2[x] + wy[3] * r3[x];
             /* saturate like the uint8 intermediate of the reference
              * pipeline (cv2.resize on uint8 clamps overshoot) */
             acc = acc < 0.0f ? 0.0f : (acc > 255.0f ? 255.0f : acc);
             out[x] = 1.0f - acc * (1.0f / 128.0f);
         }
     }
+    free(xi); free(xw); free(yi); free(yw); free(tmp);
 }
 
 /* Pack B ragged normalized lines (each H x widths[i] float32, contiguous)
