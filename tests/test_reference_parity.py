@@ -184,3 +184,30 @@ def test_group_count_matches_reference():
         with pytest.raises(NameError):
             ns["getGroupSize"](ch)
         assert group_count(ch) in (3, 5)  # ours: nearest prime factor
+
+
+def test_curriculum_flags_and_tagsets_match_reference():
+    """Execute the reference Curriculum class on tag-rich lesson descs and
+    compare derived flags and valid/eval tag sets (curriculum.py:16-49)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_curriculum", os.path.join(REF, "utils", "curriculum.py"))
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    from handwriting_line_generation_tpu.training.curriculum import Curriculum
+    desc = {"0": [["count"], [2, "auto-style", "gen"],
+                  ["style-ex-only"], ["style-super", "disc"],
+                  ["sample-disc"], ["auto", "auto-gen"]]}
+    ref = ref_mod.Curriculum(desc)
+    ours = Curriculum(desc)
+    assert ours.need_sep_gen_opt == ref.need_sep_gen_opt is True
+    assert ours.need_sep_style_ex_opt == ref.need_sep_style_ex_opt is True
+    assert ours.need_style_in_disc == ref.need_style_in_disc is True
+    assert ours.sample_disc == ref.sample_disc is True
+    assert set(ours.valid_tags) == set(ref.valid)
+    assert set(ours.eval_tags) == set(ref.eval)
+    # int prefix duplicates the lesson in the round robin
+    seq = [ours.get_lesson(i) for i in range(7)]
+    ref_seq = [ref.getLesson(i) for i in range(7)]
+    assert seq == ref_seq
