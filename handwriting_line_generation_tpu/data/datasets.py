@@ -241,7 +241,7 @@ class AuthorBatcher:
 
     def __init__(self, records: List[LineRecord], charset: Charset,
                  batch_size: int, a_batch_size: int, cfg: DataConfig,
-                 with_fg: bool = True):
+                 with_fg: bool = True, pair_combinations: bool = False):
         self.charset = charset
         self.batch_size = batch_size
         self.a = a_batch_size
@@ -252,6 +252,14 @@ class AuthorBatcher:
             by_author[r.author].append(r)
         self.groups: List[List[LineRecord]] = []
         for author, lines in sorted(by_author.items()):
+            if pair_combinations and self.a == 2:
+                # RIMES pairs every combination of a page's lines when
+                # a_batch_size == 2; single-line pages contribute nothing
+                # (author_rimeslines_dataset.py:362)
+                import itertools
+                self.groups.extend(
+                    [list(p) for p in itertools.combinations(lines, 2)])
+                continue
             for i in range(len(lines) // self.a):
                 self.groups.append(lines[i * self.a:(i + 1) * self.a])
             leftover = len(lines) % self.a
@@ -311,7 +319,8 @@ def make_batcher(cfg: DataConfig, split: str):
         return LineBatcher(records, charset, cfg.batch_size, cfg,
                            with_fg=False)
     return AuthorBatcher(records, charset, cfg.batch_size, cfg.a_batch_size,
-                         cfg, with_fg=cfg.fg_masks)
+                         cfg, with_fg=cfg.fg_masks,
+                         pair_combinations=cfg.dataset == "rimes_author")
 
 
 class Prefetcher:

@@ -238,3 +238,28 @@ def test_parse_iam_words_and_word_dataset(tmp_path):
     batch = next(iter(b.batches(np.random.default_rng(0))))
     assert batch["image"].shape[0] == 3
     assert set(batch["gt"]) == {"A", "MOVE", "second"}
+
+
+def test_rimes_pair_combinations():
+    """RIMES author batching with a_batch_size==2 pairs every combination
+    of a page's lines (author_rimeslines_dataset.py:362)."""
+    from handwriting_line_generation_tpu.data.datasets import (
+        AuthorBatcher, LineRecord)
+    recs = [LineRecord(author="p1", gt=f"t{i}",
+                       load=lambda: np.full((64, 32), -1.0, np.float32))
+            for i in range(4)]
+    recs += [LineRecord(author="p2", gt="x",
+                        load=lambda: np.full((64, 32), -1.0, np.float32))]
+    cfg = DataConfig(dataset="rimes_author", batch_size=1, a_batch_size=2,
+                     width_buckets=(32,), label_buckets=(4,))
+    b = AuthorBatcher(recs, IAM_CHARSET, 1, 2, cfg, with_fg=False,
+                      pair_combinations=True)
+    # C(4,2)=6 pairs from p1; p2 has a single line -> plain grouping skips it
+    assert len(b.groups) == 6
+    assert all(len(g) == 2 for g in b.groups)
+    gts = {tuple(sorted((g[0].gt, g[1].gt))) for g in b.groups}
+    assert len(gts) == 6
+    # without the flag: floor-division grouping + leftover fill (p2's
+    # single line self-pairs, author_hw_dataset.py:166-189 semantics)
+    b2 = AuthorBatcher(recs, IAM_CHARSET, 1, 2, cfg, with_fg=False)
+    assert len(b2.groups) == 3
