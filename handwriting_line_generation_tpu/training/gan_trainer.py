@@ -489,6 +489,13 @@ class GanTrainer:
             self._place = lambda x: jax.device_put(x, bs)
 
         start = int(self.state.step)
+        import signal
+
+        stop = {"flag": False}
+
+        def _sigint(signum, frame):                        # train.py:72-75
+            stop["flag"] = True
+        old = signal.signal(signal.SIGINT, _sigint)
         try:
             for i in range(start, iterations):
                 lesson = self.curriculum.get_lesson(i)
@@ -504,7 +511,17 @@ class GanTrainer:
                     if on_log:
                         on_log(val)
                 ckpt.maybe_save(i + 1, self.state, {"name": c.name})
+                if stop["flag"]:
+                    # SIGINT -> save then exit (train.py:72-75 semantics)
+                    from handwriting_line_generation_tpu.utils.checkpoint \
+                        import save_checkpoint
+                    save_checkpoint(ckpt.directory, "checkpoint-latest",
+                                    self.state, {"name": c.name,
+                                                 "iteration": i + 1,
+                                                 "interrupted": True})
+                    break
         finally:
+            signal.signal(signal.SIGINT, old)
             # persist curves for graph.py (the reference embeds its logger
             # in every checkpoint, base_trainer.py:348-372)
             log.save(os.path.join(ckpt.directory, "train_log.json"))
