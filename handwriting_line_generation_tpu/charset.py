@@ -128,3 +128,25 @@ def ctc_greedy_decode_batch(logits: np.ndarray, charset: Charset) -> List[str]:
     logits = np.asarray(logits)
     return [charset.decode(ctc_greedy_decode(logits[b]))
             for b in range(logits.shape[0])]
+
+
+def collapse_argmax_batch(argmaxes: np.ndarray, charset: Charset
+                          ) -> List[str]:
+    """Strings from precomputed per-frame argmax classes ``[B, T]``.
+
+    Same collapse-repeats-then-drop-blanks rule as
+    :func:`ctc_greedy_decode`, for callers that move only the int argmax
+    off-device (the in-loop CER probes) instead of full log-probs.
+    """
+    argmaxes = np.asarray(argmaxes)
+    out: List[str] = []
+    for row in argmaxes:
+        ids: List[int] = []
+        prev = -1
+        for v in row:
+            v = int(v)
+            if v != BLANK and v != prev:
+                ids.append(v)
+            prev = v
+        out.append(charset.decode(ids))
+    return out

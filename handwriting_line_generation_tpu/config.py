@@ -177,6 +177,13 @@ class TrainerConfig:
     print_every: int = 250
     print_dir: Optional[str] = None
     seed: int = 0
+    # SWA weight averaging + monitored best-model checkpointing
+    # (base_trainer.py:168-186,233-237,308-310)
+    swa: bool = False
+    swa_start: int = 0
+    swa_c_iters: int = 1
+    monitor: Optional[str] = "val_gen_CER"
+    monitor_mode: str = "min"       # min | max
 
 
 @dataclass

@@ -53,16 +53,21 @@ class Evaluator:
         self.charset = charset
         self._recog = jax.jit(lambda p, im, fr: mask_frames_to_blank(
             self.model.apply({"params": p}, im, method="recognize"), fr))
-        self._auto = None
+        self._auto: Dict[int, Any] = {}
 
     def _autoencode(self, image, label, lens, a_batch: int):
-        if self._auto is None:
-            self._auto = jax.jit(
-                lambda p, im, lb, ln: self.model.apply(
-                    {"params": p}, im, lb, ln, a_batch,
+        # jit cache keyed by a_batch — a single cached closure would bake
+        # the first call's a_batch into the trace and silently misgroup
+        # author lines for batchers with a different a_batch_size
+        fn = self._auto.get(a_batch)
+        if fn is None:
+            fn = jax.jit(
+                lambda p, im, lb, ln, a=a_batch: self.model.apply(
+                    {"params": p}, im, lb, ln, a,
                     method="autoencode",
                     rngs={"noise": jax.random.PRNGKey(0)}))
-        return self._auto(self.params, image, label, lens)
+            self._auto[a_batch] = fn
+        return fn(self.params, image, label, lens)
 
     def run(self, batcher, max_batches: Optional[int] = None,
             out_dir: Optional[str] = None,

@@ -27,15 +27,19 @@ class StyleExtractor:
     def __init__(self, model: HWWithStyle, params):
         self.model = model
         self.params = params
-        self._fn = None
+        self._fns: Dict[int, object] = {}
 
     def _extract(self, image, a_batch: int):
-        if self._fn is None:
-            self._fn = jax.jit(
-                lambda p, im: self.model.apply(
-                    {"params": p}, im, a_batch, method="extract_style"),
-                static_argnums=())
-        style, pred = self._fn(self.params, image)
+        # jit cache keyed by a_batch (a single closure would bake the first
+        # call's group size into the trace and silently misgroup later
+        # batchers with a different a_batch_size)
+        fn = self._fns.get(a_batch)
+        if fn is None:
+            fn = jax.jit(
+                lambda p, im, a=a_batch: self.model.apply(
+                    {"params": p}, im, a, method="extract_style"))
+            self._fns[a_batch] = fn
+        style, pred = fn(self.params, image)
         return _flat_style(style), pred
 
     def _apply_emb(self, style):

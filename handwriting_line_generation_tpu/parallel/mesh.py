@@ -73,18 +73,29 @@ def shard_records_for_host(records, n_hosts: Optional[int] = None,
 
 def pad_batch_to_devices(batch: Dict[str, Any], n_devices: int
                          ) -> Dict[str, Any]:
-    """Pad the batch dim to a multiple of the mesh size (blank-label pads)."""
+    """Pad the batch dim to a multiple of the mesh size.
+
+    Pad-value semantics are load-bearing (DESIGN.md; the reference pads
+    images with ``PADDING_CONSTANT=-1`` = paper white,
+    ``author_hw_dataset.py:22``): padded rows get PAD_VALUE images (not
+    mid-gray zeros), ``width=4`` (one valid frame, all paper, which the
+    frame-masked CTC/alignment treat as an empty line), and zero-length
+    labels so no loss attends to them."""
     b = batch["image"].shape[0] if "image" in batch else \
         batch["label"].shape[0]
     rem = (-b) % n_devices
     if rem == 0:
         return batch
+    fill = {"image": -1.0, "width": 4}
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1 \
                 and v.shape[0] == b:
             pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
-            out[k] = np.pad(np.asarray(v), pad)
+            out[k] = np.pad(np.asarray(v), pad,
+                            constant_values=fill.get(k, 0))
+        elif isinstance(v, list) and len(v) == b:
+            out[k] = list(v) + [""] * rem
         else:
             out[k] = v
     return out

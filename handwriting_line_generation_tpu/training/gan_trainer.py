@@ -10,7 +10,8 @@ steps:
   ``gen (no-step)``  — text batch: genRecog CTC + generator adversarial
                        loss; the two gradient pytrees are **saved** in the
                        train state (the reference's ``saved_grads``,
-                       :300-338), no optimizer update
+                       :300-338), accumulated across consecutive no-step
+                       lessons, no optimizer update
   ``auto, auto-gen`` — image batch: autoencode; main loss = fg-masked L1 +
                        perceptual (frozen encoder); plus recon adversarial +
                        reconRecog groups; all four saved/fresh gradient
@@ -20,6 +21,18 @@ steps:
   ``disc``           — hinge loss on real vs generated, discriminator
                        optimizer; spectral-norm power-iteration state
                        advances here and in every D forward
+
+Shared-forward formulation: the auto and gen steps run the expensive
+autoencode/generate forward **once** via ``jax.vjp`` — every loss group is a
+function of the produced image alone, so per-group parameter gradients are
+the shared VJP applied to that group's image cotangent.  (The reference pays
+one full forward+backward per group, ``hw_with_style_trainer.py:277-324``.)
+
+Observability (``base_trainer.py:180-186,374-399``,
+``hw_with_style_trainer.py:397-418,992-1022``): train-batch CER/WER every
+log step, validation CER + gen-CER (frozen HWR reads generated lines),
+best-model checkpoints on the monitored metric, SWA weight averaging, and
+alternating recon/gen sample-image dumps with discriminator scores.
 
 Static-shape notes: the spaced length for generated images always equals
 ``W/4`` of the batch's width bucket, so real/fake widths match with zero
@@ -38,7 +51,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from handwriting_line_generation_tpu.charset import ctc_greedy_decode_batch
+from handwriting_line_generation_tpu.charset import (
+    collapse_argmax_batch, ctc_greedy_decode_batch,
+)
 from handwriting_line_generation_tpu.config import Config
 from handwriting_line_generation_tpu.data.datasets import (
     Prefetcher, forever, get_charset, make_batcher,
@@ -59,13 +74,18 @@ from handwriting_line_generation_tpu.training.losses import (
 )
 from handwriting_line_generation_tpu.training.train_state import (
     GanTrainState, balance_and_merge, bank_push, bank_sample,
-    create_gan_state, multipliers_at, zeros_like_grads,
+    create_gan_state, multipliers_at, swa_update, zeros_like_grads,
 )
 from handwriting_line_generation_tpu.utils.checkpoint import (
-    CheckpointManager, extract_subtree, load_checkpoint,
+    CheckpointManager, checkpoint_exists, extract_subtree, load_checkpoint,
+    save_checkpoint,
 )
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
 
 
 @dataclass(eq=False)   # identity hash: jit caches per trainer instance
@@ -109,10 +129,17 @@ class GanTrainer:
             batch_size=c.data.batch_size * c.data.a_batch_size,
             corpus_path=(c.data.text_data
                          if c.data.text_data and
-                         __import__("os").path.exists(c.data.text_data)
+                         os.path.exists(c.data.text_data)
                          else None),
             max_len=c.trainer.text_data_max_len or max(c.data.label_buckets),
             seed=c.trainer.seed)
+        # SWA running average (base_trainer.py:180-186,233-237): params tree
+        # maintained host-side outside the jitted steps, saved alongside
+        # every checkpoint as <name>-swa
+        self.swa_params = None
+        self.swa_n = 0
+        # last train-batch recognizer argmax + GT for log-step CER
+        self._last_pred: Optional[Tuple[np.ndarray, List[str]]] = None
 
     # ------------------------------------------------------------------
     # setup
@@ -137,7 +164,6 @@ class GanTrainer:
         # standalone-HWR checkpoint (HWRState: step/params/opt_state/rng,
         # params = {'params': tree}) and graft its model tree under 'hwr'
         if c.model.pretrained_hwr:
-            import os
             import flax.serialization as ser
             path = c.model.pretrained_hwr
             if not path.endswith(".msgpack"):
@@ -158,7 +184,6 @@ class GanTrainer:
             variables["params"]["hwr"] = jax.tree_util.tree_map(
                 jnp.asarray, tree)
         if self.encoder_params is None and c.trainer.encoder_weights:
-            import os
             ep = c.trainer.encoder_weights
             if os.path.exists(ep if ep.endswith(".msgpack")
                               else ep + ".msgpack"):
@@ -166,7 +191,9 @@ class GanTrainer:
         if self.encoder_params is None:
             self.encoder_params = self.encoder.init(k3, image[:1])
         state, self.main_tx, self.disc_tx = create_gan_state(
-            c, variables, jax.random.PRNGKey(seed + 1))
+            c, variables, jax.random.PRNGKey(seed + 1),
+            need_sep_gen_opt=self.curriculum.need_sep_gen_opt,
+            need_sep_style_ex_opt=self.curriculum.need_sep_style_ex_opt)
         return state
 
     def load_encoder_weights(self, path: str) -> None:
@@ -256,37 +283,47 @@ class GanTrainer:
     @partial(jax.jit, static_argnums=(0, 4), donate_argnums=1)
     def step_gen_nostep(self, state: GanTrainState, label, lens,
                         spaced_len: int) -> Tuple[GanTrainState, Dict]:
-        """Lesson ["no-step", "gen"]: save genRecog + genAdv grad groups."""
+        """Lesson ["no-step", "gen"]: save genRecog + genAdv grad groups.
+
+        One shared generator forward (``jax.vjp``); consecutive no-step
+        lessons **accumulate** into the saved slots, matching the
+        reference's saved-grads list (``hw_with_style_trainer.py:300-338``).
+        """
         rng, krng, nrng, srng = jax.random.split(state.rng, 4)
         B = label.shape[0]
         style_gen = bank_sample(state.style_bank, state.bank_count, srng,
                                 B, self.interp_low, self.interp_high,
                                 self.cfg.model.style.style_dim)
 
-        def recog_loss_fn(params):
-            img, aux = self._gen_image(params, state.spectral, label, lens,
-                                       style_gen, krng, nrng, spaced_len)
-            logp = self.model.apply({"params": params}, img,
+        def gen_fwd(params):
+            return self._gen_image(params, state.spectral, label, lens,
+                                   style_gen, krng, nrng, spaced_len)
+
+        img, gen_vjp, aux = jax.vjp(gen_fwd, state.params, has_aux=True)
+        # generated ink spans the first total_len frames; confine the CTC
+        # there so padding can't absorb emissions
+        frames = jnp.clip(aux["total_len"], 1, spaced_len)
+
+        def recog_head(im):
+            logp = self.model.apply({"params": state.params}, im,
                                     method="recognize")
-            # generated ink spans the first total_len frames; confine the
-            # CTC there so padding can't absorb emissions
-            frames = jnp.clip(aux["total_len"], 1, spaced_len)
             logp = mask_frames_to_blank(logp, frames)
             return self._ctc(logp, label, lens, self.w["genRecog"])
 
-        def adv_loss_fn(params):
-            img, _ = self._gen_image(params, state.spectral, label, lens,
-                                     style_gen, krng, nrng, spaced_len)
-            scores, spec = self._apply(params, state.spectral,
-                                       "discriminate", img)
+        def adv_head(im):
+            scores, spec = self._apply(state.params, state.spectral,
+                                       "discriminate", im)
             return self.w["generator"] * gen_adv_loss(scores), spec
 
-        recog_l, recog_g = jax.value_and_grad(recog_loss_fn)(state.params)
-        (adv_l, spec), adv_g = jax.value_and_grad(adv_loss_fn, has_aux=True)(
-            state.params)
+        recog_l, ct_recog = jax.value_and_grad(recog_head)(img)
+        (adv_l, spec), ct_adv = jax.value_and_grad(adv_head, has_aux=True)(
+            img)
+        recog_g = gen_vjp(ct_recog)[0]
+        adv_g = gen_vjp(ct_adv)[0]
         return state.replace(
             step=state.step + 1, rng=rng, spectral=spec,
-            saved_recog=recog_g, saved_adv=adv_g,
+            saved_recog=_tree_add(state.saved_recog, recog_g),
+            saved_adv=_tree_add(state.saved_adv, adv_g),
             have_saved=jnp.ones((), jnp.bool_)), \
             {"genRecogLoss": recog_l, "generatorLoss": adv_l}
 
@@ -302,7 +339,16 @@ class GanTrainer:
     def step_auto(self, state: GanTrainState, image, label, lens, fg_mask,
                   width, a_batch: int) -> Tuple[GanTrainState, Dict]:
         """Lesson ["auto", "auto-gen"]: main + adversarial + recog groups,
-        balance-merged with the saved no-step groups."""
+        balance-merged with the saved no-step groups.
+
+        The autoencode forward runs **once**; each loss group is a function
+        of the reconstruction alone, so its parameter gradient is the shared
+        VJP applied to its image cotangent (1 forward + 3 image-space heads
+        + up to 3 VJP backwards, vs the reference's 3 full
+        forward+backwards).  Head gradients w.r.t. discriminator / frozen
+        HWR parameters are dropped — their optimizer partitions are
+        ``set_to_zero`` so they never reach an update.
+        """
         rng, aug_key, nrng = jax.random.split(state.rng, 3)
         image, fg_mask, wscale = apply_augmentation(
             self.cfg.data.augmentation, image, fg_mask, aug_key)
@@ -316,39 +362,42 @@ class GanTrainer:
                 frame_lengths=frames)
             return recon, aux
 
-        def main_loss_fn(params):
-            recon, aux = autoencode(params)
+        recon, ae_vjp, aux = jax.vjp(autoencode, state.params, has_aux=True)
+
+        def main_head(r):
             if self.no_bg_loss and fg_mask is not None:
-                auto = jnp.mean(jnp.abs(recon * fg_mask - image * fg_mask))
+                auto = jnp.mean(jnp.abs(r * fg_mask - image * fg_mask))
             else:
-                auto = jnp.mean(jnp.abs(recon - image))
+                auto = jnp.mean(jnp.abs(r - image))
             loss = self.w["auto"] * auto
             logs = {"autoLoss": auto}
             if self.use_perceptual:
-                perc = self._perceptual(image, recon)
+                perc = self._perceptual(image, r)
                 loss = loss + self.w["perceptual"] * perc
                 logs["perceptualLoss"] = perc
-            return loss, (logs, recon, aux)
+            return loss, logs
 
-        def adv_loss_fn(params):
-            recon, _ = autoencode(params)
-            scores, spec = self._apply(params, state.spectral,
-                                       "discriminate", recon)
+        def adv_head(r):
+            scores, spec = self._apply(state.params, state.spectral,
+                                       "discriminate", r)
             return self.w["generator"] * gen_adv_loss(scores), spec
 
-        def recog_loss_fn(params):
-            recon, _ = autoencode(params)
-            logp = self.model.apply({"params": params}, recon,
+        def recog_head(r):
+            logp = self.model.apply({"params": state.params}, r,
                                     method="recognize")
+            logp = mask_frames_to_blank(logp, frames)
             return self._ctc(logp, label, lens, self.w["reconRecog"])
 
-        (main_l, (logs, recon, aux)), main_g = jax.value_and_grad(
-            main_loss_fn, has_aux=True)(state.params)
-        (adv_l, spec), adv_g = jax.value_and_grad(adv_loss_fn, has_aux=True)(
-            state.params)
-        recog_l, recog_g = jax.value_and_grad(recog_loss_fn)(state.params)
+        (main_l, logs), ct_main = jax.value_and_grad(
+            main_head, has_aux=True)(recon)
+        (adv_l, spec), ct_adv = jax.value_and_grad(adv_head, has_aux=True)(
+            recon)
+        recog_l, ct_recog = jax.value_and_grad(recog_head)(recon)
+        main_g = ae_vjp(ct_main)[0]
 
         if self.balance:
+            adv_g = ae_vjp(ct_adv)[0]
+            recog_g = ae_vjp(ct_recog)[0]
             # multipliers are trace-time constants; the paper schedule has a
             # single "0" stage — multi-stage schedules would need a re-jit
             # keyed on the active stage (trainer:361-366)
@@ -362,15 +411,21 @@ class GanTrainer:
             # order: genRecog, genAdv, autoGenAdv, reconRecog
             # (hw_with_style_trainer.py:300-322 append order)
             mults = (mults + [1.0] * 4)[:4]
-            merged = balance_and_merge(
-                main_g, [saved_recog, saved_adv, adv_g, recog_g], mults)
+            groups = [saved_recog, saved_adv, adv_g, recog_g]
+            merged = balance_and_merge(main_g, groups, mults)
+            logs = dict(logs)
+            for name, g in zip(("genRecog", "genAdv", "autoGenAdv",
+                                "reconRecog"), groups):
+                logs[f"gnorm_{name}"] = optax_global_norm(g)
+            logs["gnorm_main"] = optax_global_norm(main_g)
+            logs["gnorm_merged"] = optax_global_norm(merged)
         else:
+            both_g = ae_vjp(ct_adv + ct_recog)[0]
             saved = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(state.have_saved, a + b, 0.0),
                 state.saved_recog, state.saved_adv)
             merged = jax.tree_util.tree_map(
-                lambda a, b, c_, d: a + b + c_ + d,
-                main_g, adv_g, recog_g, saved)
+                lambda a, b, c_: a + b + c_, main_g, both_g, saved)
 
         updates, opt_main = self.main_tx.update(merged, state.opt_main,
                                                 state.params)
@@ -386,7 +441,9 @@ class GanTrainer:
             saved_recog=zeros_like_grads(state.params),
             saved_adv=zeros_like_grads(state.params),
             have_saved=jnp.zeros((), jnp.bool_))
-        return new, {**logs, "autoGenLoss": adv_l, "reconRecogLoss": recog_l}
+        out = {**logs, "autoGenLoss": adv_l, "reconRecogLoss": recog_l,
+               "pred_am": jnp.argmax(aux["pred"], axis=-1)}
+        return new, out
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def step_disc(self, state: GanTrainState, image, label, lens
@@ -428,13 +485,13 @@ class GanTrainer:
     # ------------------------------------------------------------------
 
     @partial(jax.jit, static_argnums=(0, 6))
-    def eval_step(self, state: GanTrainState, image, label, lens, width,
+    def eval_step(self, params, image, label, lens, width,
                   a_batch: int) -> Dict:
-        """Validation losses for the curriculum's valid tags
-        (trainer:437-486)."""
+        """Validation losses + recognizer argmaxes for the curriculum's
+        valid tags (trainer:437-486, getCER :894-914)."""
         frames = jnp.clip((width + 3) // 4, 1, image.shape[2] // 4)
         recon, aux = self.model.apply(
-            {"params": state.params}, image, label, lens, a_batch,
+            {"params": params}, image, label, lens, a_batch,
             method="autoencode", rngs={"noise": jax.random.PRNGKey(0)},
             frame_lengths=frames)
         auto = jnp.mean(jnp.abs(recon - image))
@@ -446,7 +503,7 @@ class GanTrainer:
                                               label.shape[1])
         style = _flat_style(aux["style"])
         counts = self.model.apply(
-            {"params": state.params},
+            {"params": params},
             onehot(label, self.cfg.model.num_class), style,
             method=lambda m, oh, s: m.spacer(oh, s))
         mask = (jnp.arange(label.shape[1])[None, :]
@@ -454,8 +511,32 @@ class GanTrainer:
         out["val_countLoss"] = jnp.mean(
             (jnp.where(mask, counts, 0.0) - jnp.where(mask, gt_counts, 0.0))
             ** 2)
-        out["recon"] = recon
+        recon_logp = mask_frames_to_blank(
+            self.model.apply({"params": params}, recon, method="recognize"),
+            frames)
+        out["pred_am"] = jnp.argmax(pred, axis=-1)
+        out["recon_am"] = jnp.argmax(recon_logp, axis=-1)
         return out
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def eval_gen_step(self, params, label, lens, spaced_len: int,
+                      style_bank, bank_count, rng) -> Dict:
+        """gen-CER probe: generate from labels with bank-interpolated styles
+        and read the result back with the frozen HWR (the BASELINE quality
+        metric; cf. ``new_eval.py`` gen dumps)."""
+        krng, nrng, srng = jax.random.split(rng, 3)
+        B = label.shape[0]
+        style = bank_sample(style_bank, bank_count, srng, B,
+                            self.interp_low, self.interp_high,
+                            self.cfg.model.style.style_dim)
+        img, aux = self.model.apply(
+            {"params": params}, label, lens, style, krng,
+            spaced_len=spaced_len, method="generate", rngs={"noise": nrng})
+        frames = jnp.clip(aux["total_len"], 1, spaced_len)
+        logp = mask_frames_to_blank(
+            self.model.apply({"params": params}, img, method="recognize"),
+            frames)
+        return {"gen_am": jnp.argmax(logp, axis=-1)}
 
     # ------------------------------------------------------------------
     # loop
@@ -480,6 +561,12 @@ class GanTrainer:
         self.state = self.init_state(first, seed=c.trainer.seed)
         if ckpt.has_latest():
             self.state = ckpt.latest(self.state)
+            if checkpoint_exists(ckpt.directory, "checkpoint-latest-swa"):
+                self.swa_params = load_checkpoint(
+                    ckpt.directory, "checkpoint-latest-swa",
+                    jax.tree_util.tree_map(np.asarray, self.state.params))
+                self.swa_n = int(load_meta_safe(
+                    ckpt.directory, "checkpoint-latest-swa").get("swa_n", 1))
         self._place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (
@@ -489,6 +576,10 @@ class GanTrainer:
             self._place = lambda x: jax.device_put(x, bs)
 
         start = int(self.state.step)
+        swa_cfg = (c.trainer.swa, c.trainer.swa_start, c.trainer.swa_c_iters)
+        self._swa_fn = None
+        monitor = c.trainer.monitor
+        mon_sign = -1.0 if c.trainer.monitor_mode == "max" else 1.0
         import signal
 
         stop = {"flag": False}
@@ -501,24 +592,48 @@ class GanTrainer:
                 lesson = self.curriculum.get_lesson(i)
                 out = self.run_lesson(lesson, it)
                 log.step({k: float(v) for k, v in out.items()})
+                monitor_value = None
                 if (i + 1) % log_every == 0:
-                    entry = log.record(i + 1)
+                    entry = log.record(i + 1, self._train_cer())
                     if on_log:
                         on_log(entry)
                 if val_every and (i + 1) % val_every == 0:
                     val = self.validate(valid_b, val_batches)
+                    if (self.swa_params is not None
+                            and (i + 1) >= c.trainer.swa_start):
+                        swa_val = self.validate(valid_b, val_batches,
+                                                params=self._swa_device())
+                        val.update({f"swa_{k}": v for k, v in
+                                    swa_val.items()})
                     log.record(i + 1, val)
                     if on_log:
                         on_log(val)
-                ckpt.maybe_save(i + 1, self.state, {"name": c.name})
+                    if monitor and monitor in val:
+                        monitor_value = mon_sign * val[monitor]
+                # SWA running average (base_trainer.py:233-237)
+                if (swa_cfg[0] and (i + 1) >= swa_cfg[1]
+                        and (i + 1 - swa_cfg[1]) % max(swa_cfg[2], 1) == 0):
+                    self._swa_step()
+                if (c.trainer.print_every
+                        and (i + 1) % c.trainer.print_every == 0):
+                    self._dump_samples(i + 1, valid_b, ckpt.directory)
+                ckpt.maybe_save(
+                    i + 1, self.state, {"name": c.name},
+                    monitor_value=monitor_value,
+                    extra_trees=({"swa": self.swa_params}
+                                 if self.swa_params is not None else None),
+                    extra_meta={"swa_n": self.swa_n})
                 if stop["flag"]:
                     # SIGINT -> save then exit (train.py:72-75 semantics)
-                    from handwriting_line_generation_tpu.utils.checkpoint \
-                        import save_checkpoint
                     save_checkpoint(ckpt.directory, "checkpoint-latest",
                                     self.state, {"name": c.name,
                                                  "iteration": i + 1,
                                                  "interrupted": True})
+                    if self.swa_params is not None:
+                        save_checkpoint(ckpt.directory,
+                                        "checkpoint-latest-swa",
+                                        self.swa_params,
+                                        {"swa_n": self.swa_n})
                     break
         finally:
             signal.signal(signal.SIGINT, old)
@@ -526,6 +641,36 @@ class GanTrainer:
             # in every checkpoint, base_trainer.py:348-372)
             log.save(os.path.join(ckpt.directory, "train_log.json"))
         return log
+
+    # -- SWA ------------------------------------------------------------
+
+    def _swa_step(self):
+        if self._swa_fn is None:
+            self._swa_fn = jax.jit(swa_update)
+        if self.swa_params is None:
+            self.swa_params = jax.tree_util.tree_map(
+                lambda x: np.asarray(x), self.state.params)
+            self.swa_n = 1
+            return
+        new, _ = self._swa_fn(self._swa_device(), self.state.params,
+                              jnp.float32(self.swa_n))
+        self.swa_params = jax.tree_util.tree_map(np.asarray, new)
+        self.swa_n += 1
+
+    def _swa_device(self):
+        return jax.tree_util.tree_map(jnp.asarray, self.swa_params)
+
+    # -- CER ------------------------------------------------------------
+
+    def _train_cer(self) -> Dict[str, float]:
+        """CER/WER of the recognizer on the most recent auto batch
+        (``hw_with_style_trainer.py:397-418``)."""
+        if self._last_pred is None:
+            return {}
+        am, gt = self._last_pred
+        preds = collapse_argmax_batch(am, self.charset)
+        cer, wer = batch_cer_wer(gt, preds)
+        return {"CER": cer, "WER": wer}
 
     def pseudo_label_unknown(self, batch: Dict) -> Dict:
         """Replace ``$UNKOWN$`` transcriptions with the frozen HWR's greedy
@@ -561,6 +706,12 @@ class GanTrainer:
         return out
 
     def run_lesson(self, lesson: List[str], data_iter: Iterator) -> Dict:
+        if not lesson:
+            raise ValueError(
+                "curriculum produced no lesson for this iteration — the "
+                "first stage starts later than iteration 0 "
+                "(curriculum.py:51-55 semantics); configs must define a "
+                "stage at or before the resume iteration")
         place = getattr(self, "_place", lambda x: x)
         gen_only = all(l[:3] == "gen" or l == "no-step" for l in lesson)
         if gen_only:
@@ -585,27 +736,156 @@ class GanTrainer:
                   if "fg_mask" in batch else None)
             self.state, out = self.step_auto(self.state, image, label, lens,
                                              fg, width, a_batch)
+            out = dict(out)
+            pred_am = out.pop("pred_am", None)
+            if pred_am is not None:
+                self._last_pred = (np.asarray(pred_am), list(batch["gt"]))
         elif "disc" in lesson:
             self.state, out = self.step_disc(self.state, image, label, lens)
         else:
             raise ValueError(f"no step for lesson {lesson}")
         return out
 
-    def validate(self, batcher, max_batches: Optional[int] = None) -> Dict:
+    def validate(self, batcher, max_batches: Optional[int] = None,
+                 params=None) -> Dict:
+        """Validation losses + CER/WER on originals and recons + gen-CER
+        (``hw_with_style_trainer.py:437-486`` and ``getCER`` :894-914)."""
         totals: Dict[str, float] = {}
+        gts: List[str] = []
+        preds: List[str] = []
+        rpreds: List[str] = []
+        gpreds: List[str] = []
         n = 0
+        params = self.state.params if params is None else params
         for i, batch in enumerate(batcher.batches(np.random.default_rng(0),
                                                   shuffle=False)):
             if max_batches is not None and i >= max_batches:
                 break
-            out = self.eval_step(self.state, jnp.asarray(batch["image"]),
-                                 jnp.asarray(batch["label"]),
-                                 jnp.asarray(batch["label_lengths"]),
+            label = jnp.asarray(batch["label"])
+            lens = jnp.asarray(batch["label_lengths"])
+            out = self.eval_step(params, jnp.asarray(batch["image"]),
+                                 label, lens,
                                  jnp.asarray(batch["width"]),
                                  batch.get("a_batch_size", 1))
+            gen = self.eval_gen_step(params, label, lens,
+                                     self.gen_spaced_len,
+                                     self.state.style_bank,
+                                     self.state.bank_count,
+                                     jax.random.PRNGKey(1000 + i))
+            gts.extend(batch["gt"])
+            preds.extend(collapse_argmax_batch(np.asarray(out["pred_am"]),
+                                               self.charset))
+            rpreds.extend(collapse_argmax_batch(np.asarray(out["recon_am"]),
+                                                self.charset))
+            gpreds.extend(collapse_argmax_batch(np.asarray(gen["gen_am"]),
+                                                self.charset))
             for k, v in out.items():
-                if k == "recon":
+                if k.endswith("_am"):
                     continue
                 totals[k] = totals.get(k, 0.0) + float(v)
             n += 1
-        return {k: v / max(n, 1) for k, v in totals.items()}
+        res = {k: v / max(n, 1) for k, v in totals.items()}
+        if gts:
+            res["val_CER"], res["val_WER"] = batch_cer_wer(gts, preds)
+            res["val_recon_CER"], _ = batch_cer_wer(gts, rpreds)
+            res["val_gen_CER"], _ = batch_cer_wer(gts, gpreds)
+        return res
+
+    # -- sample dumps ----------------------------------------------------
+
+    def _dump_samples(self, iteration: int, valid_b, run_dir: str) -> None:
+        """Training-time sample dumps (``hw_with_style_trainer.py:
+        163-172,248-264,992-1022``): alternating recon/gen strips every
+        ``print_every`` plus discriminator scores to a sidecar text file."""
+        out_dir = self.cfg.trainer.print_dir or os.path.join(run_dir,
+                                                             "samples")
+        os.makedirs(out_dir, exist_ok=True)
+        batch = next(valid_b.batches(np.random.default_rng(7),
+                                     shuffle=False))
+        image = jnp.asarray(batch["image"])
+        label = jnp.asarray(batch["label"])
+        lens = jnp.asarray(batch["label_lengths"])
+        width = jnp.asarray(batch["width"])
+        params = self.state.params
+        gen = self.eval_gen_render(params, self.state.spectral, label, lens,
+                                   self.gen_spaced_len,
+                                   self.state.style_bank,
+                                   self.state.bank_count,
+                                   jax.random.PRNGKey(iteration))
+        self._write_strip(
+            os.path.join(out_dir, f"iter{iteration}_gen.png"),
+            np.asarray(gen["img"]), batch["gt"])
+        # alternate: recon strip via a dedicated render (reference
+        # alternates gen/recon dumps; we write both each time)
+        rec = self._recon_render(params, self.state.spectral, image, label,
+                                 lens, width, batch.get("a_batch_size", 1))
+        self._write_strip(
+            os.path.join(out_dir, f"iter{iteration}_recon.png"),
+            np.asarray(rec["recon"]), batch["gt"],
+            originals=np.asarray(image))
+        with open(os.path.join(out_dir, "disc_scores.txt"), "a") as f:
+            f.write(f"iter {iteration}: real "
+                    f"{float(rec['d_real']):.4f} fake "
+                    f"{float(gen['d_fake']):.4f}\n")
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def eval_gen_render(self, params, spectral, label, lens,
+                        spaced_len: int, style_bank, bank_count,
+                        rng) -> Dict:
+        krng, nrng, srng = jax.random.split(rng, 3)
+        B = label.shape[0]
+        style = bank_sample(style_bank, bank_count, srng, B,
+                            self.interp_low, self.interp_high,
+                            self.cfg.model.style.style_dim)
+        img, _ = self.model.apply(
+            {"params": params}, label, lens, style, krng,
+            spaced_len=spaced_len, method="generate", rngs={"noise": nrng})
+        scores, _ = self._apply(params, spectral, "discriminate", img)
+        d_fake = sum(jnp.mean(s) for s in scores) / len(scores)
+        return {"img": img, "d_fake": d_fake}
+
+    @partial(jax.jit, static_argnums=(0, 7))
+    def _recon_render(self, params, spectral, image, label, lens, width,
+                      a_batch: int) -> Dict:
+        frames = jnp.clip((width + 3) // 4, 1, image.shape[2] // 4)
+        recon, _ = self.model.apply(
+            {"params": params}, image, label, lens, a_batch,
+            method="autoencode", rngs={"noise": jax.random.PRNGKey(0)},
+            frame_lengths=frames)
+        scores, _ = self._apply(params, spectral, "discriminate", image)
+        d_real = sum(jnp.mean(s) for s in scores) / len(scores)
+        return {"recon": recon, "d_real": d_real}
+
+    @staticmethod
+    def _write_strip(path: str, imgs: np.ndarray, gts,
+                     originals: Optional[np.ndarray] = None,
+                     max_rows: int = 8) -> None:
+        import cv2
+        rows = []
+        W = imgs.shape[2]
+        for i in range(min(imgs.shape[0], max_rows)):
+            if originals is not None:
+                o = ((1 - originals[i, :, :, 0]) * 127.5).clip(0, 255)
+                ow = o.shape[1]
+                if ow < W:
+                    o = np.pad(o, ((0, 0), (0, W - ow)),
+                               constant_values=255)
+                rows += [o[:, :W].astype(np.uint8),
+                         np.full((2, W), 128, np.uint8)]
+            g = ((1 - imgs[i, :, :, 0]) * 127.5).clip(0, 255)
+            rows += [g.astype(np.uint8), np.full((6, W), 60, np.uint8)]
+        cv2.imwrite(path, np.concatenate(rows))
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    import optax
+    return optax.global_norm(tree)
+
+
+def load_meta_safe(directory: str, name: str) -> Dict:
+    import json
+    path = os.path.join(directory, name + ".json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)

@@ -232,11 +232,37 @@ class GanTrainState(struct.PyTreeNode):
     rng: jax.Array
 
 
-def create_gan_state(cfg: Config, variables, rng) -> Tuple[
+def make_sep_optimizers(params, opt_cfg: OptimConfig,
+                        grad_clip: float = 2.0) -> Tuple[
+        optax.GradientTransformation, optax.GradientTransformation]:
+    """Separate generator-only / style-extractor-only optimizers for
+    curricula with ``auto-style`` / ``style-ex-only`` lessons
+    (``base_trainer.py:95-110``).  NOTE: the reference *constructs and
+    checkpoints* these but never calls ``.step()`` on them anywhere in the
+    trainer — they are parity artifacts; we build them so such curricula
+    initialize identically, and any future lesson kind can step them."""
+    def only(prefix):
+        def label_of(path, _):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            return "on" if prefix in name else "off"
+        labels = jax.tree_util.tree_map_with_path(label_of, params)
+        clip = optax.clip(grad_clip) if grad_clip else optax.identity()
+        return optax.chain(clip, optax.multi_transform(
+            {"on": _adam(opt_cfg), "off": optax.set_to_zero()}, labels))
+
+    return only("generator"), only("style_extractor")
+
+
+def create_gan_state(cfg: Config, variables, rng,
+                     need_sep_gen_opt: bool = False,
+                     need_sep_style_ex_opt: bool = False) -> Tuple[
         GanTrainState, optax.GradientTransformation,
         optax.GradientTransformation]:
     params = variables["params"]
     labels = partition_params(params, hwr_frozen=cfg.model.hwr_frozen)
+    # construction parity only — see make_sep_optimizers
+    if need_sep_gen_opt or need_sep_style_ex_opt:
+        make_sep_optimizers(params, cfg.optimizer, cfg.trainer.grad_clip)
     main_tx, disc_tx = make_optimizers(labels, cfg.optimizer,
                                        cfg.optimizer_discriminator,
                                        cfg.trainer.grad_clip,

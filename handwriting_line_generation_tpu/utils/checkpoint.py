@@ -101,21 +101,31 @@ class CheckpointManager:
             "INTERACTIVE_SESSION_ARCHIVE")
 
     def maybe_save(self, iteration: int, pytree: Any, meta: Dict,
-                   monitor_value: Optional[float] = None) -> None:
-        meta = dict(meta, iteration=iteration)
+                   monitor_value: Optional[float] = None,
+                   extra_trees: Optional[Dict[str, Any]] = None,
+                   extra_meta: Optional[Dict] = None) -> None:
+        """``extra_trees`` (e.g. ``{"swa": swa_params}``) are saved beside
+        each written checkpoint as ``<name>-<key>`` — the reference embeds
+        ``swa_state_dict`` inside the checkpoint dict
+        (``base_trainer.py:362-366``)."""
+        meta = dict(meta, iteration=iteration, **(extra_meta or {}))
         dirs = [self.directory] + ([self.archive_dir] if self.archive_dir
                                    else [])
+
+        def _save(name: str) -> None:
+            for d in dirs:
+                save_checkpoint(d, name, pytree, meta)
+                for key, tree in (extra_trees or {}).items():
+                    if tree is not None:
+                        save_checkpoint(d, f"{name}-{key}", tree, meta)
+
         if self.save_step and iteration % self.save_step == 0:
-            for d in dirs:
-                save_checkpoint(d, f"checkpoint-iteration{iteration}",
-                                pytree, meta)
+            _save(f"checkpoint-iteration{iteration}")
         if self.save_step_minor and iteration % self.save_step_minor == 0:
-            for d in dirs:
-                save_checkpoint(d, "checkpoint-latest", pytree, meta)
+            _save("checkpoint-latest")
         if monitor_value is not None and monitor_value < self.best:
             self.best = monitor_value
-            for d in dirs:
-                save_checkpoint(d, "model_best", pytree, meta)
+            _save("model_best")
 
     def latest(self, template: Any):
         return load_checkpoint(self.directory, "checkpoint-latest", template)
