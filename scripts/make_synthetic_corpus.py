@@ -1,0 +1,25 @@
+"""Write a text corpus matching the synthetic dataset's text distribution.
+
+The GAN's gen-only lessons draw text from ``data.text_data`` (the reference
+feeds an external English corpus there, ``trainer`` config key ``text_data``).
+For the synthetic dataset the matching corpus is ``random_text`` draws — this
+script materializes one so gen lessons train on the same text distribution
+the gen-CER probe evaluates on.
+
+Usage: python scripts/make_synthetic_corpus.py [out_path] [n_lines]
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from handwriting_line_generation_tpu.charset import IAM_CHARSET
+from handwriting_line_generation_tpu.data.synthetic import random_text
+
+out = sys.argv[1] if len(sys.argv) > 1 else "saved/syn_text.txt"
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+rng = np.random.default_rng(99)
+with open(out, "w") as f:
+    for _ in range(n):
+        f.write(random_text(rng, IAM_CHARSET) + "\n")
+print(f"wrote {n} lines to {out}")

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Three-stage training recipe on the synthetic corpus (this env has no IAM
+# data).  Mirrors the reference's pipeline (SURVEY.md §7): pretrain HWR ->
+# pretrain autoencoder (2tight) -> train the full GAN.  Every stage soft
+# resumes (-r), so re-running this script after an interruption continues
+# where it left off.  Reference: run_eval.py + notes.txt staged runs.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p saved
+
+if [ ! -f saved/syn_text.txt ]; then
+  python scripts/make_synthetic_corpus.py saved/syn_text.txt 5000
+fi
+
+echo "[pipeline] stage 1: HWR pretrain" >> saved/pipeline.log
+python train.py -c configs/syn_hwr.json -r >> saved/syn_hwr.log 2>&1 \
+  || { echo "[pipeline] HWR stage failed" >> saved/pipeline.log; exit 1; }
+
+echo "[pipeline] stage 2: autoencoder pretrain" >> saved/pipeline.log
+python train.py -c configs/syn_auto_2tight.json -r >> saved/syn_auto.log 2>&1 \
+  || { echo "[pipeline] auto stage failed" >> saved/pipeline.log; exit 1; }
+
+echo "[pipeline] stage 3: GAN" >> saved/pipeline.log
+python train.py -c configs/syn_gan_long.json -r >> saved/syn_gan.log 2>&1 \
+  || { echo "[pipeline] GAN stage failed" >> saved/pipeline.log; exit 1; }
+
+echo "[pipeline] done" >> saved/pipeline.log
