@@ -24,6 +24,17 @@ def main():
                     help="per-sample prediction CSV (new_eval save_preds)")
     ap.add_argument("--save-nns", action="store_true",
                     help="style-space nearest-neighbor CSV (new_eval save_nns)")
+    ap.add_argument("--save-gen", action="store_true",
+                    help="dump generated-line images per sample "
+                         "(hwdataset_eval.py:267-279 channel)")
+    ap.add_argument("--quality", action="store_true",
+                    help="generation-quality harness: gen-CER, writer-ID, "
+                         "inter/intra style distances, HWR-feature FID")
+    ap.add_argument("--texts", default=None,
+                    help="text corpus for --quality gen lines (default: the "
+                         "config's data.text_data, else split transcripts)")
+    ap.add_argument("--n-gen", type=int, default=256,
+                    help="number of lines to generate for --quality")
     ap.add_argument("-a", "--override", action="append",
                     default=[], metavar="PATH=VALUE",
                     help="nested config override, e.g. -a trainer.iterations=100")
@@ -46,13 +57,34 @@ def main():
     first = next(iter(batcher.batches(np.random.default_rng(0))))
     state = CheckpointManager(args.checkpoint).latest(
         trainer.init_state(first))
-    ev = Evaluator(trainer.model, state.params, get_charset(cfg.data))
+    charset = get_charset(cfg.data)
+    if args.quality:
+        from handwriting_line_generation_tpu.inference.quality import (
+            QualityEvaluator, load_texts)
+        texts_path = args.texts or getattr(cfg.data, "text_data", None)
+        if texts_path:
+            texts = load_texts(texts_path, args.n_gen)
+        else:
+            rng = np.random.default_rng(0)
+            texts = []
+            for b in batcher.batches(rng, shuffle=False):
+                texts.extend(t for t in b["gt"] if t != "$UNKOWN$")
+                if len(texts) >= args.n_gen:
+                    break
+            texts = texts[:args.n_gen]
+        qe = QualityEvaluator(trainer.model, state.params, charset)
+        metrics = qe.run(batcher, texts, args.max_batches,
+                         out_dir=args.out_dir)
+        print(json.dumps(metrics, indent=2))
+        return
+    ev = Evaluator(trainer.model, state.params, charset)
     metrics = ev.run(batcher, args.max_batches, args.out_dir,
                      save_images=args.save_images,
                      save_styles=args.save_styles,
                      save_spaced=args.save_spaced,
                      save_preds=args.save_preds,
-                     save_nns=args.save_nns)
+                     save_nns=args.save_nns,
+                     save_gen=args.save_gen)
     print(json.dumps(metrics, indent=2))
 
 

@@ -83,14 +83,24 @@ class DiscriminatorConfig:
     use_low: bool = True
     use_med: bool = True
     small: bool = False
+    cond: bool = False        # projection style-conditioned head
+    use_global: bool = False  # pooled whole-line score head
 
     @staticmethod
     def from_flags(flags: Optional[str], dim: int) -> "DiscriminatorConfig":
+        """The shipped reference parses only use-low/no-med/small
+        (``hw_with_style.py:193-198``); the paper config's extra tokens
+        ("no style, no global, no cond") are dev-era vestiges there.  We
+        honor them as real toggles: un-negated "cond"/"global" enable the
+        corresponding heads."""
         if not flags:
             return DiscriminatorConfig(enabled=False)
         return DiscriminatorConfig(
             enabled=True, dim=dim, use_low="use low" in flags,
-            use_med="no med" not in flags, small="small" in flags)
+            use_med="no med" not in flags, small="small" in flags,
+            cond="no cond" not in flags and "cond" in flags.replace(
+                "condAP", "AP"),
+            use_global="no global" not in flags and "global" in flags)
 
 
 @dataclass

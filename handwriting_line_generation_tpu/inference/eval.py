@@ -54,6 +54,7 @@ class Evaluator:
         self._recog = jax.jit(lambda p, im, fr: mask_frames_to_blank(
             self.model.apply({"params": p}, im, method="recognize"), fr))
         self._auto: Dict[int, Any] = {}
+        self._gen: Dict[int, Any] = {}
 
     def _autoencode(self, image, label, lens, a_batch: int):
         # jit cache keyed by a_batch — a single cached closure would bake
@@ -69,19 +70,35 @@ class Evaluator:
             self._auto[a_batch] = fn
         return fn(self.params, image, label, lens)
 
+    def _generate(self, label, lens, style, spaced_len: int):
+        fn = self._gen.get(spaced_len)
+        if fn is None:
+            fn = jax.jit(lambda p, lb, ln, st, k, s=spaced_len:
+                         self.model.apply(
+                             {"params": p}, lb, ln, st, k, spaced_len=s,
+                             method="generate",
+                             rngs={"noise": jax.random.PRNGKey(1)}))
+            self._gen[spaced_len] = fn
+        img, _ = fn(self.params, label, lens, style, jax.random.PRNGKey(0))
+        return img
+
     def run(self, batcher, max_batches: Optional[int] = None,
             out_dir: Optional[str] = None,
             save_images: bool = False,
             save_styles: bool = False,
             save_spaced: bool = False,
             save_preds: bool = False,
-            save_nns: bool = False) -> Dict:
+            save_nns: bool = False,
+            save_gen: bool = False) -> Dict:
         """Aggregate metrics over a split; optional side-channel dumps.
 
         ``save_preds`` writes a per-sample prediction CSV
         (``new_eval.py`` ``save_preds`` channel); ``save_nns`` writes each
         sample's nearest neighbors in style space with author labels (the
-        memorization probe of ``new_eval.py`` ``save_nns``).
+        memorization probe of ``new_eval.py`` ``save_nns``); ``save_gen``
+        renders each sample's text in its own extracted style and dumps
+        ``gen_*.png`` (the generated-line channel of
+        ``hwdataset_eval.py:267-279``).
         """
         import cv2
         if out_dir:
@@ -139,6 +156,13 @@ class Evaluator:
                                            np.asarray(recon[b]))
                         cv2.imwrite(os.path.join(
                             out_dir, f"recon_{i}_{b}.png"), img)
+                if save_gen and out_dir:
+                    gen = self._generate(label, lens, _flat_style(
+                        aux["style"]), image.shape[2] // 4)
+                    for b in range(min(4, image.shape[0])):
+                        cv2.imwrite(
+                            os.path.join(out_dir, f"gen_{i}_{b}.png"),
+                            _to_u8(np.asarray(gen[b])))
             n += 1
         out = {k: v / max(n, 1) for k, v in totals.items()}
         if save_styles and styles_acc:

@@ -66,10 +66,12 @@ class GenerationSession:
             self._gen_fns[spaced_len] = fn
         return self._gen_fns[spaced_len]
 
-    def encode_texts(self, texts: Sequence[str]
+    def encode_texts(self, texts: Sequence[str],
+                     label_len: Optional[int] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         labels = [self.charset.encode(t) for t in texts]
-        L = max(max(len(l) for l in labels), 1)
+        L = label_len or max(max(len(l) for l in labels), 1)
+        labels = [l[:L] for l in labels]
         out = np.zeros((len(texts), L), np.int32)
         lens = np.zeros(len(texts), np.int32)
         for i, l in enumerate(labels):
@@ -78,10 +80,14 @@ class GenerationSession:
         return jnp.asarray(out), jnp.asarray(lens)
 
     def render(self, texts: Sequence[str], styles: np.ndarray,
-               seed: int = 0, spaced_len: Optional[int] = None
-               ) -> np.ndarray:
-        """texts + styles ``[B, D]`` -> images ``[B, 64, 4*T, 1]``."""
-        label, lens = self.encode_texts(texts)
+               seed: int = 0, spaced_len: Optional[int] = None,
+               label_len: Optional[int] = None) -> np.ndarray:
+        """texts + styles ``[B, D]`` -> images ``[B, 64, 4*T, 1]``.
+
+        ``label_len`` fixes the padded label length so chunked callers
+        (quality eval) reuse one compiled executable across chunks.
+        """
+        label, lens = self.encode_texts(texts, label_len)
         if spaced_len is None:
             # spacer mean init ~2 blanks + ~1 dup per char; 6x headroom,
             # rounded up to a multiple of 8 for clean generator widths

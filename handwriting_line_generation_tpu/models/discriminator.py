@@ -23,15 +23,25 @@ from handwriting_line_generation_tpu.models.layers import SNConv, avg_pool, gn
 
 
 class DiscriminatorAP(nn.Module):
+    """``cond``/``use_global`` cover the dev-era variants the paper config
+    names but turns off (``"condAP wide, no style, no global, use low, no
+    cond"`` in ``cf_IAMslant_..._sMG.json``; the shipped dispatch
+    ``hw_with_style.py:193-198`` parses only use-low/no-med/small, so those
+    tokens are vestigial there).  ``use_global`` adds a pooled whole-line
+    score head; ``cond`` adds a projection-conditioned score
+    ``<embed(style), pooled features>`` so the discriminator can judge
+    style consistency, not just realism."""
     dim: int = 64
     use_low: bool = True
     use_med: bool = True
     small: bool = False
+    cond: bool = False
+    use_global: bool = False
     leak: float = 0.1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
-                 return_features: bool = False):
+                 return_features: bool = False, style=None):
         d = self.dim
         lrelu = lambda v: nn.leaky_relu(v, self.leak)
         drop = lambda v, p: nn.Dropout(p, broadcast_dims=(1, 2),
@@ -74,6 +84,19 @@ class DiscriminatorAP(nn.Module):
             y = lrelu(drop(y, 0.025))
             pL = SNConv(1, (1, 1))(y)
             out.append(pL.reshape(pL.shape[0], -1))
+        if self.use_global or self.cond:
+            pooled = jnp.mean(mL, axis=(1, 2))                # [B, 4d]
+            if self.use_global:
+                g = lrelu(nn.Dense(4 * d, name="global_fc")(pooled))
+                out.append(nn.Dense(1, name="global_out")(g))
+            if self.cond:
+                if style is None:
+                    raise ValueError(
+                        "cond discriminator needs the conditioning style")
+                proj = nn.Dense(4 * d, use_bias=False,
+                                name="cond_proj")(style)      # [B, 4d]
+                out.append(jnp.sum(pooled * proj, axis=-1,
+                                   keepdims=True))
         if return_features:
             return mL, pL
         return out

@@ -88,7 +88,9 @@ class HWWithStyle(nn.Module):
         if c.discriminator.enabled:
             self.discriminator = DiscriminatorAP(
                 dim=c.discriminator.dim, use_low=c.discriminator.use_low,
-                use_med=c.discriminator.use_med, small=c.discriminator.small)
+                use_med=c.discriminator.use_med, small=c.discriminator.small,
+                cond=c.discriminator.cond,
+                use_global=c.discriminator.use_global)
         else:
             self.discriminator = None
         if c.spacer.enabled:
@@ -174,8 +176,9 @@ class HWWithStyle(nn.Module):
         return recon, {"style": style, "pred": pred,
                        "spaced_label": spaced_label}
 
-    def discriminate(self, image, deterministic: bool = True):
-        return self.discriminator(image, deterministic=deterministic)
+    def discriminate(self, image, deterministic: bool = True, style=None):
+        return self.discriminator(image, deterministic=deterministic,
+                                  style=style)
 
     def init_all(self, image, labels, label_lengths, a_batch_size: int = 1,
                  spaced_len: int = 64):
@@ -204,7 +207,8 @@ class HWWithStyle(nn.Module):
             spaced = jnp.zeros((image.shape[0], spaced_len), jnp.int32)
             outs.append(self.generate_spaced(spaced, style))
         if self.discriminator is not None:
-            outs.append(self.discriminator(image))
+            outs.append(self.discriminator(
+                image, style=style if self.cfg.discriminator.cond else None))
         return outs
 
 

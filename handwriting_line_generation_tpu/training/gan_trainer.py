@@ -88,6 +88,17 @@ def _tree_add(a, b):
     return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
 
 
+def _active_stage(schedule: Dict, iteration: int) -> int:
+    """Start iteration of the schedule stage active at ``iteration`` —
+    the static jit key for stage-dependent balance multipliers
+    (``hw_with_style_trainer.py:361-366``)."""
+    best = 0
+    for k in (schedule or {}):
+        if int(k) <= iteration and int(k) > best:
+            best = int(k)
+    return best
+
+
 @dataclass(eq=False)   # identity hash: jit caches per trainer instance
 class GanTrainer:
     cfg: Config
@@ -190,7 +201,8 @@ class GanTrainer:
                 self.load_encoder_weights(ep)
         if self.encoder_params is None:
             self.encoder_params = self.encoder.init(k3, image[:1])
-        state, self.main_tx, self.disc_tx = create_gan_state(
+        (state, self.main_tx, self.disc_tx, self.gen_only_tx,
+         self.style_ex_tx) = create_gan_state(
             c, variables, jax.random.PRNGKey(seed + 1),
             need_sep_gen_opt=self.curriculum.need_sep_gen_opt,
             need_sep_style_ex_opt=self.curriculum.need_sep_style_ex_opt)
@@ -311,8 +323,10 @@ class GanTrainer:
             return self._ctc(logp, label, lens, self.w["genRecog"])
 
         def adv_head(im):
+            kw = ({"style": style_gen}
+                  if self.cfg.model.discriminator.cond else {})
             scores, spec = self._apply(state.params, state.spectral,
-                                       "discriminate", im)
+                                       "discriminate", im, **kw)
             return self.w["generator"] * gen_adv_loss(scores), spec
 
         recog_l, ct_recog = jax.value_and_grad(recog_head)(img)
@@ -335,11 +349,17 @@ class GanTrainer:
             rngs={"noise": noise_rng})
         return img, aux
 
-    @partial(jax.jit, static_argnums=(0, 7), donate_argnums=1)
+    @partial(jax.jit, static_argnums=(0, 7, 8, 9), donate_argnums=1)
     def step_auto(self, state: GanTrainState, image, label, lens, fg_mask,
-                  width, a_batch: int) -> Tuple[GanTrainState, Dict]:
+                  width, a_batch: int, opt_kind: str = "main",
+                  bal_stage: int = 0) -> Tuple[GanTrainState, Dict]:
         """Lesson ["auto", "auto-gen"]: main + adversarial + recog groups,
         balance-merged with the saved no-step groups.
+
+        ``opt_kind`` selects the optimizer partition: ``"main"`` for normal
+        auto lessons, ``"gen_only"`` for ``auto-style``-tagged lessons and
+        ``"style_ex"`` for ``style-ex-only`` ones (the separated optimizer
+        groups of ``base_trainer.py:95-110``).
 
         The autoencode forward runs **once**; each loss group is a function
         of the reconstruction alone, so its parameter gradient is the shared
@@ -378,8 +398,10 @@ class GanTrainer:
             return loss, logs
 
         def adv_head(r):
+            kw = ({"style": jax.lax.stop_gradient(_flat_style(aux["style"]))}
+                  if self.cfg.model.discriminator.cond else {})
             scores, spec = self._apply(state.params, state.spectral,
-                                       "discriminate", r)
+                                       "discriminate", r, **kw)
             return self.w["generator"] * gen_adv_loss(scores), spec
 
         def recog_head(r):
@@ -398,10 +420,10 @@ class GanTrainer:
         if self.balance:
             adv_g = ae_vjp(ct_adv)[0]
             recog_g = ae_vjp(ct_recog)[0]
-            # multipliers are trace-time constants; the paper schedule has a
-            # single "0" stage — multi-stage schedules would need a re-jit
-            # keyed on the active stage (trainer:361-366)
-            mults = multipliers_at(self.cfg.trainer.balance_var_x, 0)
+            # multipliers are trace-time constants keyed on the static
+            # bal_stage, so scheduled balance_var_x changes re-jit once per
+            # stage (trainer:361-366)
+            mults = multipliers_at(self.cfg.trainer.balance_var_x, bal_stage)
             saved_recog = jax.tree_util.tree_map(
                 lambda g: jnp.where(state.have_saved, g, 0.0),
                 state.saved_recog)
@@ -427,8 +449,11 @@ class GanTrainer:
             merged = jax.tree_util.tree_map(
                 lambda a, b, c_: a + b + c_, main_g, both_g, saved)
 
-        updates, opt_main = self.main_tx.update(merged, state.opt_main,
-                                                state.params)
+        tx, slot = {"main": (self.main_tx, "opt_main"),
+                    "gen_only": (self.gen_only_tx, "opt_gen_only"),
+                    "style_ex": (self.style_ex_tx, "opt_style_ex")}[opt_kind]
+        updates, new_opt = tx.update(merged, getattr(state, slot),
+                                     state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
                                         updates)
         # push one style per author group to the bank (trainer:548-551)
@@ -436,11 +461,12 @@ class GanTrainer:
         bank, count = bank_push(state.style_bank, state.bank_count,
                                 jax.lax.stop_gradient(styles))
         new = state.replace(
-            step=state.step + 1, params=params, opt_main=opt_main,
+            step=state.step + 1, params=params,
             spectral=spec, rng=rng, style_bank=bank, bank_count=count,
             saved_recog=zeros_like_grads(state.params),
             saved_adv=zeros_like_grads(state.params),
-            have_saved=jnp.zeros((), jnp.bool_))
+            have_saved=jnp.zeros((), jnp.bool_),
+            **{slot: new_opt})
         out = {**logs, "autoGenLoss": adv_l, "reconRecogLoss": recog_l,
                "pred_am": jnp.argmax(aux["pred"], axis=-1)}
         return new, out
@@ -460,11 +486,19 @@ class GanTrainer:
         fake, _ = self._gen_image(state.params, state.spectral, label, lens,
                                   style_gen, krng, nrng, spaced_len)
         fake = jax.lax.stop_gradient(fake)
+        if self.cfg.model.discriminator.cond:
+            style_real, _ = self.model.apply(
+                {"params": state.params}, image, 1, method="extract_style")
+            style_both = jax.lax.stop_gradient(jnp.concatenate(
+                [_flat_style(style_real), style_gen], axis=0))
+        else:
+            style_both = None
 
         def loss_fn(params):
+            kw = {"style": style_both} if style_both is not None else {}
             both = jnp.concatenate([image, fake], axis=0)
             scores, spec = self._apply(params, state.spectral,
-                                       "discriminate", both)
+                                       "discriminate", both, **kw)
             real_s = [s[:B] for s in scores]
             fake_s = [s[B:] for s in scores]
             loss = self.w["discriminator"] * disc_hinge_loss(real_s, fake_s)
@@ -590,7 +624,7 @@ class GanTrainer:
         try:
             for i in range(start, iterations):
                 lesson = self.curriculum.get_lesson(i)
-                out = self.run_lesson(lesson, it)
+                out = self.run_lesson(lesson, it, iteration=i)
                 log.step({k: float(v) for k, v in out.items()})
                 monitor_value = None
                 if (i + 1) % log_every == 0:
@@ -705,7 +739,8 @@ class GanTrainer:
         out.update(label=label, label_lengths=lens, gt=gt)
         return out
 
-    def run_lesson(self, lesson: List[str], data_iter: Iterator) -> Dict:
+    def run_lesson(self, lesson: List[str], data_iter: Iterator,
+                   iteration: int = 0) -> Dict:
         if not lesson:
             raise ValueError(
                 "curriculum produced no lesson for this iteration — the "
@@ -734,8 +769,16 @@ class GanTrainer:
         elif "auto" in lesson:
             fg = (place(jnp.asarray(batch["fg_mask"]))
                   if "fg_mask" in batch else None)
+            opt_kind = ("gen_only" if "auto-style" in lesson else
+                        "style_ex" if "style-ex-only" in lesson else "main")
+            # re-jit keyed on the active balance-schedule stage so scheduled
+            # balance_var_x changes take effect (trainer:361-366); the paper
+            # config has one "0" stage -> one compile
+            bal_stage = _active_stage(self.cfg.trainer.balance_var_x,
+                                      iteration)
             self.state, out = self.step_auto(self.state, image, label, lens,
-                                             fg, width, a_batch)
+                                             fg, width, a_batch, opt_kind,
+                                             bal_stage)
             out = dict(out)
             pred_am = out.pop("pred_am", None)
             if pred_am is not None:
@@ -840,7 +883,8 @@ class GanTrainer:
         img, _ = self.model.apply(
             {"params": params}, label, lens, style, krng,
             spaced_len=spaced_len, method="generate", rngs={"noise": nrng})
-        scores, _ = self._apply(params, spectral, "discriminate", img)
+        kw = ({"style": style} if self.cfg.model.discriminator.cond else {})
+        scores, _ = self._apply(params, spectral, "discriminate", img, **kw)
         d_fake = sum(jnp.mean(s) for s in scores) / len(scores)
         return {"img": img, "d_fake": d_fake}
 
@@ -848,11 +892,14 @@ class GanTrainer:
     def _recon_render(self, params, spectral, image, label, lens, width,
                       a_batch: int) -> Dict:
         frames = jnp.clip((width + 3) // 4, 1, image.shape[2] // 4)
-        recon, _ = self.model.apply(
+        recon, aux = self.model.apply(
             {"params": params}, image, label, lens, a_batch,
             method="autoencode", rngs={"noise": jax.random.PRNGKey(0)},
             frame_lengths=frames)
-        scores, _ = self._apply(params, spectral, "discriminate", image)
+        kw = ({"style": _flat_style(aux["style"])}
+              if self.cfg.model.discriminator.cond else {})
+        scores, _ = self._apply(params, spectral, "discriminate", image,
+                                **kw)
         d_real = sum(jnp.mean(s) for s in scores) / len(scores)
         return {"recon": recon, "d_real": d_real}
 

@@ -230,6 +230,10 @@ class GanTrainState(struct.PyTreeNode):
     style_bank: jnp.ndarray             # [bank, style_dim]
     bank_count: jnp.ndarray
     rng: jax.Array
+    # separated optimizer slots for auto-style / style-ex-only curricula
+    # (base_trainer.py:95-110); empty tuples when the curriculum has none
+    opt_gen_only: Any = ()
+    opt_style_ex: Any = ()
 
 
 def make_sep_optimizers(params, opt_cfg: OptimConfig,
@@ -237,10 +241,11 @@ def make_sep_optimizers(params, opt_cfg: OptimConfig,
         optax.GradientTransformation, optax.GradientTransformation]:
     """Separate generator-only / style-extractor-only optimizers for
     curricula with ``auto-style`` / ``style-ex-only`` lessons
-    (``base_trainer.py:95-110``).  NOTE: the reference *constructs and
-    checkpoints* these but never calls ``.step()`` on them anywhere in the
-    trainer — they are parity artifacts; we build them so such curricula
-    initialize identically, and any future lesson kind can step them."""
+    (``base_trainer.py:95-110``).  NOTE: the shipped reference constructs
+    and checkpoints these but never calls ``.step()`` on them in its
+    trainer (dev-era vestige); we both construct them and actually step
+    them on lessons carrying the corresponding tag, so such curricula
+    train the intended sub-network."""
     def only(prefix):
         def label_of(path, _):
             name = "/".join(str(getattr(k, "key", k)) for k in path)
@@ -260,9 +265,10 @@ def create_gan_state(cfg: Config, variables, rng,
         optax.GradientTransformation]:
     params = variables["params"]
     labels = partition_params(params, hwr_frozen=cfg.model.hwr_frozen)
-    # construction parity only — see make_sep_optimizers
+    gen_only_tx = style_ex_tx = None
     if need_sep_gen_opt or need_sep_style_ex_opt:
-        make_sep_optimizers(params, cfg.optimizer, cfg.trainer.grad_clip)
+        gen_only_tx, style_ex_tx = make_sep_optimizers(
+            params, cfg.optimizer, cfg.trainer.grad_clip)
     main_tx, disc_tx = make_optimizers(labels, cfg.optimizer,
                                        cfg.optimizer_discriminator,
                                        cfg.trainer.grad_clip,
@@ -281,8 +287,12 @@ def create_gan_state(cfg: Config, variables, rng,
                               cfg.model.style.style_dim)),
         bank_count=jnp.zeros((), jnp.int32),
         rng=rng,
+        opt_gen_only=(gen_only_tx.init(params)
+                      if need_sep_gen_opt else ()),
+        opt_style_ex=(style_ex_tx.init(params)
+                      if need_sep_style_ex_opt else ()),
     )
-    return state, main_tx, disc_tx
+    return state, main_tx, disc_tx, gen_only_tx, style_ex_tx
 
 
 def bank_push(bank: jnp.ndarray, count: jnp.ndarray,

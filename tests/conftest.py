@@ -25,6 +25,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(items):
+    # tiering: anything not slow/compile is the sub-minute "fast" core
+    for item in items:
+        if not any(m.name in ("slow", "compile") for m in
+                   item.iter_markers()):
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -1,5 +1,9 @@
 """Inference layer tests: generation session, style tools, eval, mturk."""
 
+import pytest as _pt
+
+pytestmark = _pt.mark.compile     # generation-session compiles dominate
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,6 +1,9 @@
 """Model zoo shape and behavior tests (small dims for CPU speed)."""
 
 import jax
+import pytest as _pt
+
+pytestmark = _pt.mark.compile     # every test jit-compiles a real model
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -80,6 +83,37 @@ def test_discriminator_med_only():
     variables = m.init(jax.random.PRNGKey(0), x)
     outs, _ = m.apply(variables, x, mutable=["spectral"])
     assert len(outs) == 1
+
+
+def test_discriminator_cond_and_global():
+    """Dev-era variants the paper config names but disables
+    (cf_IAMslant_..._sMG.json "condAP ... no style, no global, no cond"):
+    a pooled global score head and a projection style-conditioned score."""
+    m = DiscriminatorAP(dim=16, cond=True, use_global=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 128, 1))
+    style = jnp.ones((2, 32))
+    variables = m.init(jax.random.PRNGKey(0), x, style=style)
+    outs, _ = m.apply(variables, x, style=style, mutable=["spectral"])
+    assert len(outs) == 4                  # med + low + global + cond
+    assert outs[2].shape == (2, 1) and outs[3].shape == (2, 1)
+    # cond score responds to the conditioning vector
+    outs2, _ = m.apply(variables, x, style=2.0 * style,
+                       mutable=["spectral"])
+    assert not np.allclose(np.asarray(outs[3]), np.asarray(outs2[3]))
+    # missing style must fail loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        m.apply(variables, x, mutable=["spectral"])
+
+
+def test_discriminator_flag_parsing():
+    from handwriting_line_generation_tpu.config import DiscriminatorConfig
+    paper = DiscriminatorConfig.from_flags(
+        "condAP wide, no style, no global, use low, no cond", 64)
+    assert paper.use_low and paper.use_med
+    assert not paper.cond and not paper.use_global
+    on = DiscriminatorConfig.from_flags("AP global, cond, use low", 32)
+    assert on.cond and on.use_global and on.dim == 32
 
 
 def test_count_cnn():

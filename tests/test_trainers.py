@@ -114,6 +114,22 @@ def test_hwr_trains_cpu():
     assert os.path.exists("/tmp/h/h/train_log.json")
 
 
+def test_balance_stage_keying():
+    """Scheduled balance_var_x changes take effect: the static jit key
+    tracks the active schedule stage (hw_with_style_trainer.py:361-366)."""
+    from handwriting_line_generation_tpu.training.gan_trainer import (
+        _active_stage)
+    from handwriting_line_generation_tpu.training.train_state import (
+        multipliers_at)
+    sched = {"0": [0.6, 0.5, 0.4, 0.75], "100000": [0.3]}
+    assert _active_stage(sched, 0) == 0
+    assert _active_stage(sched, 99999) == 0
+    assert _active_stage(sched, 100000) == 100000
+    assert multipliers_at(sched, _active_stage(sched, 150000)) == [0.3]
+    assert _active_stage({}, 5) == 0 and _active_stage(None, 5) == 0
+
+
+@pytest.mark.compile
 def test_evaluator_side_channels(tmp_path):
     """Evaluator dumps preds.csv / nns.csv / styles.npz (the new_eval.py
     save_preds / save_nns / save_style side channels)."""
@@ -137,6 +153,67 @@ def test_evaluator_side_channels(tmp_path):
     assert (tmp_path / "styles.npz").exists()
 
 
+@pytest.mark.compile
+def test_auto_style_curriculum_steps_gen_only_optimizer():
+    """An ``auto-style``-tagged lesson updates ONLY generator params via the
+    separated gen-only optimizer (base_trainer.py:95-110); everything else
+    (style extractor, spacer, discriminator, frozen HWR) stays put."""
+    cfg = _tiny_gan_cfg()
+    cfg.trainer.curriculum = {"0": [["auto", "auto-gen", "auto-style"]]}
+    tr = GanTrainer(cfg)
+    assert tr.curriculum.need_sep_gen_opt
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    tr.state = tr.init_state(next(it))
+    assert tr.gen_only_tx is not None and tr.state.opt_gen_only != ()
+    before = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    out = tr.run_lesson(tr.curriculum.get_lesson(0), it)
+    assert np.isfinite(float(out["autoLoss"]))
+    after = tr.state.params
+
+    def moved(key):
+        leaves_b = jax.tree_util.tree_leaves(before[key])
+        leaves_a = jax.tree_util.tree_leaves(after[key])
+        return any(not np.allclose(np.asarray(a), b)
+                   for a, b in zip(leaves_a, leaves_b))
+
+    assert moved("generator")
+    for frozen_key in ("style_extractor", "spacer", "discriminator", "hwr"):
+        assert not moved(frozen_key), frozen_key
+
+
+@pytest.mark.compile
+def test_quality_eval_and_gen_dump(tmp_path):
+    """QualityEvaluator returns the BASELINE quality metrics in one call
+    and the Evaluator save_gen channel dumps generated lines
+    (hwdataset_eval.py:267-279)."""
+    from handwriting_line_generation_tpu.data.datasets import get_charset
+    from handwriting_line_generation_tpu.inference.eval import Evaluator
+    from handwriting_line_generation_tpu.inference.quality import (
+        QualityEvaluator, frechet_distance)
+
+    cfg = _tiny_gan_cfg()
+    tr = GanTrainer(cfg)
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    tr.state = tr.init_state(next(it))
+    charset = get_charset(cfg.data)
+    qe = QualityEvaluator(tr.model, tr.state.params, charset)
+    out = qe.run(make_batcher(cfg.data, "train"), ["ab cd", "efg"],
+                 max_batches=2, gen_batch=2, out_dir=str(tmp_path / "q"))
+    for key in ("gen_CER", "gen_WER", "writer_id_top1", "style_intra_mean",
+                "style_inter_mean", "fid_hwr"):
+        assert key in out and np.isfinite(out[key]), key
+    assert (tmp_path / "q" / "gen_000.png").exists()
+    # identical feature sets -> FID 0
+    f = np.random.default_rng(0).normal(size=(64, 8))
+    assert abs(frechet_distance(f, f)) < 1e-6
+    # save_gen channel
+    ev = Evaluator(tr.model, tr.state.params, charset)
+    ev.run(make_batcher(cfg.data, "train"), max_batches=1,
+           out_dir=str(tmp_path / "e"), save_gen=True)
+    assert (tmp_path / "e" / "gen_0_0.png").exists()
+
+
+@pytest.mark.compile
 def test_data_parallel_matches_single_device():
     """DP over the virtual 8-device mesh reproduces single-device losses:
     the psum-mean gradient under pjit equals the full-batch gradient."""
@@ -179,6 +256,7 @@ def test_data_parallel_matches_single_device():
     np.testing.assert_allclose(single, multi, rtol=2e-4)
 
 
+@pytest.mark.compile
 def test_unknown_gt_pseudo_labels():
     """$UNKOWN$ transcriptions are replaced by the frozen HWR's decode
     before alignment-dependent lessons (hw_with_style_trainer.py:620-656)."""
@@ -238,6 +316,7 @@ def test_pad_batch_to_devices_semantics():
     assert pad_batch_to_devices(out, 8) is out
 
 
+@pytest.mark.compile
 def test_style_extractor_jit_keyed_by_a_batch():
     """StyleExtractor/_Evaluator jits must key on a_batch_size, not bake the
     first call's value (VERDICT r1 weak #2)."""
