@@ -14,6 +14,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument("-k", "--checkpoint", required=True)
+    ap.add_argument("--ckpt-name", default="checkpoint-latest",
+                    help="checkpoint file stem in the -k directory; "
+                         "'model_best' (params-only) is supported")
     ap.add_argument("-d", "--split", default="valid")
     ap.add_argument("-n", "--max-batches", type=int, default=None)
     ap.add_argument("-o", "--out-dir", default=None)
@@ -55,8 +58,22 @@ def main():
     trainer = GanTrainer(cfg)
     batcher = make_batcher(cfg.data, args.split)
     first = next(iter(batcher.batches(np.random.default_rng(0))))
-    state = CheckpointManager(args.checkpoint).latest(
-        trainer.init_state(first))
+    template = trainer.init_state(first)
+    if args.ckpt_name == "checkpoint-latest":
+        state = CheckpointManager(args.checkpoint).latest(template)
+    else:
+        import flax.serialization as ser
+        from handwriting_line_generation_tpu.utils.checkpoint import (
+            load_raw_checkpoint)
+        raw = load_raw_checkpoint(args.checkpoint, args.ckpt_name)
+        if set(raw) <= {"params", "spectral"}:  # params-only model_best
+            state = template.replace(
+                params=ser.from_state_dict(template.params, raw["params"]),
+                **({"spectral": ser.from_state_dict(template.spectral,
+                                                    raw["spectral"])}
+                   if "spectral" in raw else {}))
+        else:
+            state = ser.from_state_dict(template, raw)
     charset = get_charset(cfg.data)
     if args.quality:
         from handwriting_line_generation_tpu.inference.quality import (

@@ -144,18 +144,22 @@ class AutoTrainer:
                     self.state, jnp.asarray(batch["image"]),
                     jnp.asarray(batch["label"]),
                     jnp.asarray(batch["label_lengths"]))
-                log.step({k: float(v) for k, v in out.items()
-                          if k != "logp"})
+                # device scalars held as-is; floated lazily at record()
+                log.step({k: v for k, v in out.items() if k != "logp"})
                 if i % log_every == 0:
                     entry = log.record(i)
                     if on_log:
                         on_log(entry)
+                monitor_value = None
                 if val_every and i % val_every == 0:
                     val = self.validate(valid_b, val_batches)
                     log.record(i, val)
                     if on_log:
                         on_log(val)
-                ckpt.maybe_save(i, self.state, {"name": c.name})
+                    monitor_value = val.get("val_CER")
+                ckpt.maybe_save(i, self.state, {"name": c.name},
+                                monitor_value=monitor_value,
+                                best_tree={"params": self.state.params})
                 if stop["flag"]:
                     # SIGINT -> save then exit (train.py:72-75 semantics)
                     from handwriting_line_generation_tpu.utils.checkpoint \

@@ -625,7 +625,9 @@ class GanTrainer:
             for i in range(start, iterations):
                 lesson = self.curriculum.get_lesson(i)
                 out = self.run_lesson(lesson, it, iteration=i)
-                log.step({k: float(v) for k, v in out.items()})
+                # device scalars go in as-is; TrainLog floats them lazily at
+                # record() so no per-lesson device sync (tunnel round trip)
+                log.step(out)
                 monitor_value = None
                 if (i + 1) % log_every == 0:
                     entry = log.record(i + 1, self._train_cer())
@@ -656,7 +658,9 @@ class GanTrainer:
                     monitor_value=monitor_value,
                     extra_trees=({"swa": self.swa_params}
                                  if self.swa_params is not None else None),
-                    extra_meta={"swa_n": self.swa_n})
+                    extra_meta={"swa_n": self.swa_n},
+                    best_tree={"params": self.state.params,
+                               "spectral": self.state.spectral})
                 if stop["flag"]:
                     # SIGINT -> save then exit (train.py:72-75 semantics)
                     save_checkpoint(ckpt.directory, "checkpoint-latest",
@@ -702,7 +706,7 @@ class GanTrainer:
         if self._last_pred is None:
             return {}
         am, gt = self._last_pred
-        preds = collapse_argmax_batch(am, self.charset)
+        preds = collapse_argmax_batch(np.asarray(am), self.charset)
         cer, wer = batch_cer_wer(gt, preds)
         return {"CER": cer, "WER": wer}
 
@@ -782,7 +786,8 @@ class GanTrainer:
             out = dict(out)
             pred_am = out.pop("pred_am", None)
             if pred_am is not None:
-                self._last_pred = (np.asarray(pred_am), list(batch["gt"]))
+                # keep the device array; _train_cer converts at log time
+                self._last_pred = (pred_am, list(batch["gt"]))
         elif "disc" in lesson:
             self.state, out = self.step_disc(self.state, image, label, lens)
         else:

@@ -182,7 +182,7 @@ class HWRTrainer:
                     place(jnp.asarray(batch["label"])),
                     place(jnp.asarray(batch["label_lengths"])),
                     place(jnp.asarray(batch["width"])))
-                metrics = {"loss": float(out["loss"])}
+                metrics = {"loss": out["loss"]}
                 if i % log_every == 0:
                     preds = ctc_greedy_decode_batch(np.asarray(out["logp"]),
                                                     self.charset)
@@ -194,12 +194,16 @@ class HWRTrainer:
                     entry = log.record(i)
                     if on_log:
                         on_log(entry)
+                monitor_value = None
                 if val_every and i % val_every == 0:
                     val = self.validate(valid_b, val_batches)
                     log.record(i, val)
                     if on_log:
                         on_log(val)
-                ckpt.maybe_save(i, self.state, {"name": c.name})
+                    monitor_value = val.get("val_CER")
+                ckpt.maybe_save(i, self.state, {"name": c.name},
+                                monitor_value=monitor_value,
+                                best_tree={"params": self.state.params})
                 if stop["flag"]:
                     # SIGINT -> save then exit (train.py:72-75 semantics)
                     from handwriting_line_generation_tpu.utils.checkpoint \

@@ -103,21 +103,29 @@ class CheckpointManager:
     def maybe_save(self, iteration: int, pytree: Any, meta: Dict,
                    monitor_value: Optional[float] = None,
                    extra_trees: Optional[Dict[str, Any]] = None,
-                   extra_meta: Optional[Dict] = None) -> None:
+                   extra_meta: Optional[Dict] = None,
+                   best_tree: Optional[Any] = None) -> None:
         """``extra_trees`` (e.g. ``{"swa": swa_params}``) are saved beside
         each written checkpoint as ``<name>-<key>`` — the reference embeds
         ``swa_state_dict`` inside the checkpoint dict
-        (``base_trainer.py:362-366``)."""
+        (``base_trainer.py:362-366``).
+
+        ``best_tree``: when given, ``model_best`` saves THAT (typically
+        params-only) instead of the full train state — best checkpoints are
+        for deployment, and a full GAN state is ~7x the parameter bytes
+        (params + two Adam moments + two saved-grad slots), which over a
+        remote-TPU tunnel costs minutes per improvement."""
         meta = dict(meta, iteration=iteration, **(extra_meta or {}))
         dirs = [self.directory] + ([self.archive_dir] if self.archive_dir
                                    else [])
 
-        def _save(name: str) -> None:
+        def _save(name: str, tree: Any = None) -> None:
             for d in dirs:
-                save_checkpoint(d, name, pytree, meta)
-                for key, tree in (extra_trees or {}).items():
-                    if tree is not None:
-                        save_checkpoint(d, f"{name}-{key}", tree, meta)
+                save_checkpoint(d, name,
+                                tree if tree is not None else pytree, meta)
+                for key, t in (extra_trees or {}).items():
+                    if t is not None:
+                        save_checkpoint(d, f"{name}-{key}", t, meta)
 
         if self.save_step and iteration % self.save_step == 0:
             _save(f"checkpoint-iteration{iteration}")
@@ -125,13 +133,21 @@ class CheckpointManager:
             _save("checkpoint-latest")
         if monitor_value is not None and monitor_value < self.best:
             self.best = monitor_value
-            _save("model_best")
+            _save("model_best", best_tree)
 
     def latest(self, template: Any):
         return load_checkpoint(self.directory, "checkpoint-latest", template)
 
     def has_latest(self) -> bool:
         return checkpoint_exists(self.directory, "checkpoint-latest")
+
+
+def load_raw_checkpoint(directory: str, name: str) -> Any:
+    """Template-free restore (nested dict of numpy arrays) — for params-only
+    ``model_best`` checkpoints and checkpoint surgery."""
+    import flax.serialization as ser
+    with open(os.path.join(directory, name + ".msgpack"), "rb") as f:
+        return ser.msgpack_restore(f.read())
 
 
 def param_summary(params: Dict, max_depth: int = 1) -> str:

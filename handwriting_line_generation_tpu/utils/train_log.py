@@ -24,15 +24,24 @@ class TrainLog:
         self._last_t: Optional[float] = None
 
     def step(self, metrics: Dict[str, float]) -> None:
+        """Record one step's metrics.
+
+        Values may be device (jax) scalars: they are held as-is and only
+        converted to floats at :meth:`record` time, so logging never forces
+        a per-step device sync — the host keeps dispatching ahead of the
+        device (critical over a remote-TPU tunnel where every sync pays a
+        round trip).
+        """
         now = time.perf_counter()
         if self._last_t is not None:
             self._rolling["sec_per_iter"].append(now - self._last_t)
         self._last_t = now
         for k, v in metrics.items():
-            self._rolling[k].append(float(v))
+            self._rolling[k].append(v)
 
     def averages(self) -> Dict[str, float]:
-        return {k: sum(v) / len(v) for k, v in self._rolling.items() if v}
+        return {k: float(sum(float(x) for x in v) / len(v))
+                for k, v in self._rolling.items() if v}
 
     def record(self, iteration: int, extra: Optional[Dict] = None) -> Dict:
         entry = {"iteration": iteration, **self.averages(), **(extra or {})}

@@ -180,3 +180,24 @@ def test_metric_registry():
     a = jnp.zeros((1, 4, 4)).at[0, :2].set(1.0)
     b = jnp.zeros((1, 4, 4)).at[0, 1:3].set(1.0)
     assert abs(float(mean_iou(a, b)) - 1 / 3) < 1e-6
+
+
+def test_train_log_lazy_device_scalars(tmp_path):
+    """TrainLog.step accepts device scalars without forcing a sync; floats
+    appear only at record()/save() time (async-dispatch-friendly logging
+    over the remote-TPU tunnel)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from handwriting_line_generation_tpu.utils.train_log import TrainLog
+
+    log = TrainLog(window=4)
+    for i in range(6):
+        log.step({"loss": jnp.float32(i), "aux": float(i)})
+    entry = log.record(6)
+    assert isinstance(entry["loss"], float)
+    assert entry["loss"] == (2 + 3 + 4 + 5) / 4          # window mean
+    log.save(str(tmp_path / "log.json"))
+    loaded = json.load(open(tmp_path / "log.json"))
+    assert loaded[0]["loss"] == entry["loss"]
