@@ -8,6 +8,10 @@ enough to need tensor parallelism, so DP over ICI is the faithful and
 sufficient mapping; gradient ``psum``s are inserted by XLA under ``jit``.
 
 * batch tensors are sharded on their leading (batch) axis;
+* author groups (``a_batch_size`` consecutive lines) must be device-local:
+  per-device batch is a multiple of ``a_batch_size`` (``check_group_local``)
+  or the style extractor's group-collapse reshape becomes a cross-device
+  all-to-all — pure ICI waste;
 * params / optimizer / bank state are fully replicated;
 * the curriculum is iteration-indexed and deterministic so every host picks
   the same lesson with no communication (``curriculum.py:51-55`` analog);
@@ -61,6 +65,18 @@ def replicate_state(mesh: Mesh, state):
     """Replicate a train-state pytree across the mesh."""
     rep = replicated(mesh)
     return jax.device_put(state, rep)
+
+
+def check_group_local(batch_size: int, a_batch_size: int,
+                      n_devices: int) -> None:
+    """Require whole author groups per device (see module docstring)."""
+    per_dev, rem = divmod(batch_size, n_devices)
+    if rem or (a_batch_size > 1 and per_dev % a_batch_size):
+        raise ValueError(
+            f"batch_size {batch_size} over {n_devices} devices gives "
+            f"{batch_size / n_devices} lines/device, which does not hold "
+            f"whole author groups of {a_batch_size} — the group collapse "
+            f"would all-to-all across devices")
 
 
 def shard_records_for_host(records, n_hosts: Optional[int] = None,

@@ -604,7 +604,9 @@ class GanTrainer:
         self._place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (
-                batch_sharding, replicate_state)
+                batch_sharding, check_group_local, replicate_state)
+            check_group_local(c.data.batch_size, c.data.a_batch_size,
+                              mesh.shape["data"])
             self.state = replicate_state(mesh, self.state)
             bs = batch_sharding(mesh)
             self._place = lambda x: jax.device_put(x, bs)

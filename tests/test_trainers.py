@@ -373,3 +373,16 @@ def test_swa_update_and_best_model(tmp_path):
     import json
     meta = json.load(open(tmp_path / "model_best.json"))
     assert meta["iteration"] == 2                    # best kept at 0.5
+
+
+def test_check_group_local():
+    """Author groups must be device-local under DP (mesh.py rule): straddled
+    groups turn the style extractor's collapse into an all-to-all."""
+    from handwriting_line_generation_tpu.parallel.mesh import (
+        check_group_local)
+    check_group_local(16, 2, 8)          # 2 lines/device = 1 group
+    check_group_local(8, 1, 8)
+    with pytest.raises(ValueError):
+        check_group_local(8, 2, 8)       # groups straddle devices
+    with pytest.raises(ValueError):
+        check_group_local(12, 1, 8)      # uneven split
