@@ -236,13 +236,13 @@ class GanTrainer:
         return weight * ctc_loss_fast(logp, label, lens)
 
     def _perceptual(self, image, recon):
-        both = jnp.concatenate([image, recon], axis=0)
-        bott, mid = self.encoder.apply(self.encoder_params, both)
-        loss = 0.0
-        for f in (bott, mid):
-            o, r = jnp.split(f, 2, axis=0)
-            loss = loss + jnp.mean(jnp.abs(o - r))
-        return loss
+        # two encoder applies instead of one on a batch concat: concatenating
+        # along the sharded batch axis under DP lowers to a cross-device
+        # all-to-all (measured in the 8-device SPMD HLO); separate applies
+        # keep every operand batch-sharded with zero extra communication
+        bo, mo = self.encoder.apply(self.encoder_params, image)
+        br, mr = self.encoder.apply(self.encoder_params, recon)
+        return jnp.mean(jnp.abs(bo - br)) + jnp.mean(jnp.abs(mo - mr))
 
     # ------------------------------------------------------------------
     # lesson steps
@@ -489,18 +489,22 @@ class GanTrainer:
         if self.cfg.model.discriminator.cond:
             style_real, _ = self.model.apply(
                 {"params": state.params}, image, 1, method="extract_style")
-            style_both = jax.lax.stop_gradient(jnp.concatenate(
-                [_flat_style(style_real), style_gen], axis=0))
+            style_real = jax.lax.stop_gradient(_flat_style(style_real))
         else:
-            style_both = None
+            style_real = None
 
         def loss_fn(params):
-            kw = {"style": style_both} if style_both is not None else {}
-            both = jnp.concatenate([image, fake], axis=0)
-            scores, spec = self._apply(params, state.spectral,
-                                       "discriminate", both, **kw)
-            real_s = [s[:B] for s in scores]
-            fake_s = [s[B:] for s in scores]
+            # real and fake discriminated in separate applies: a batch-axis
+            # concat of sharded operands lowers to an all-to-all under DP
+            # (and two applies = two power iterations, matching the
+            # reference's per-forward SpectralNorm update)
+            kwr = {"style": style_real} if style_real is not None else {}
+            kwf = ({"style": style_gen}
+                   if self.cfg.model.discriminator.cond else {})
+            real_s, spec = self._apply(params, state.spectral,
+                                       "discriminate", image, **kwr)
+            fake_s, spec = self._apply(params, spec,
+                                       "discriminate", fake, **kwf)
             loss = self.w["discriminator"] * disc_hinge_loss(real_s, fake_s)
             return loss, spec
 

@@ -53,8 +53,9 @@ def main():
               "image_w": int(image.shape[2])}
 
     # FLOPs from XLA cost analysis of the dominant (auto) lesson step
-    lowered = tr.step_auto.lower(tr.state, image, label, lens, fg,
-                                 width, a_batch, "main", 0)
+    # bound-jit .lower does not auto-insert self: go through the class attr
+    lowered = type(tr).step_auto.lower(tr, tr.state, image, label, lens, fg,
+                                       width, a_batch, "main", 0)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, list):                      # older jax returns [dict]
         cost = cost[0]
