@@ -652,6 +652,9 @@ class GanTrainer:
                         on_log(val)
                     if monitor and monitor in val:
                         monitor_value = mon_sign * val[monitor]
+                    # keep curves fresh so graph.py works mid-run (the
+                    # reference embeds its logger in every checkpoint)
+                    log.save(os.path.join(ckpt.directory, "train_log.json"))
                 # SWA running average (base_trainer.py:233-237)
                 if (swa_cfg[0] and (i + 1) >= swa_cfg[1]
                         and (i + 1 - swa_cfg[1]) % max(swa_cfg[2], 1) == 0):
