@@ -40,8 +40,14 @@ class TrainLog:
             self._rolling[k].append(v)
 
     def averages(self) -> Dict[str, float]:
+        vals = {k: list(v) for k, v in self._rolling.items() if v}
+        try:                      # one batched transfer instead of ~4000
+            import jax            # individual round trips per record
+            vals = jax.device_get(vals)
+        except ImportError:       # pragma: no cover
+            pass
         return {k: float(sum(float(x) for x in v) / len(v))
-                for k, v in self._rolling.items() if v}
+                for k, v in vals.items()}
 
     def record(self, iteration: int, extra: Optional[Dict] = None) -> Dict:
         entry = {"iteration": iteration, **self.averages(), **(extra or {})}
