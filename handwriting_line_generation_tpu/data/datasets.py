@@ -315,10 +315,24 @@ def make_batcher(cfg: DataConfig, split: str):
                                 cfg.max_width)
     else:
         raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    # Multi-host SPMD (SURVEY.md §5.8): each process pipelines only its own
+    # shard of the dataset and assembles 1/process_count of the global batch
+    # (whole author groups stay process-local); ``place_global`` stitches
+    # the per-host shards into one global batch-sharded array.
+    import jax
+    batch_size = cfg.batch_size
+    if jax.process_count() > 1:
+        from handwriting_line_generation_tpu.parallel.mesh import (
+            local_batch_size, shard_records_for_host)
+        line_level = cfg.dataset in ("iam_lines", "iam_words")
+        batch_size = local_batch_size(
+            cfg.batch_size, 1 if line_level else cfg.a_batch_size)
+        records = shard_records_for_host(
+            records, by_author=None if line_level else (lambda r: r.author))
     if cfg.dataset in ("iam_lines", "iam_words"):
-        return LineBatcher(records, charset, cfg.batch_size, cfg,
+        return LineBatcher(records, charset, batch_size, cfg,
                            with_fg=False)
-    return AuthorBatcher(records, charset, cfg.batch_size, cfg.a_batch_size,
+    return AuthorBatcher(records, charset, batch_size, cfg.a_batch_size,
                          cfg, with_fg=cfg.fg_masks,
                          pair_combinations=cfg.dataset == "rimes_author")
 

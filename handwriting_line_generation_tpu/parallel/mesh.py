@@ -80,11 +80,66 @@ def check_group_local(batch_size: int, a_batch_size: int,
 
 
 def shard_records_for_host(records, n_hosts: Optional[int] = None,
-                           host_id: Optional[int] = None):
-    """Per-process dataset sharding for multi-host input pipelines."""
+                           host_id: Optional[int] = None, by_author=None):
+    """Per-process dataset sharding for multi-host input pipelines.
+
+    ``by_author``: optional key fn; when given, whole authors are assigned
+    round-robin to hosts (author groups must stay process-local for the
+    same reason they must stay device-local — the style extractor's group
+    collapse), instead of striding raw records.
+    """
     n = n_hosts if n_hosts is not None else jax.process_count()
     h = host_id if host_id is not None else jax.process_index()
+    if n == 1:
+        return records
+    if by_author is not None:
+        authors = sorted({by_author(r) for r in records})
+        mine = set(authors[h::n])
+        return [r for r in records if by_author(r) in mine]
     return records[h::n]
+
+
+def init_distributed() -> int:
+    """Multi-host init (SURVEY.md §5.8): ``jax.distributed.initialize``.
+
+    Uses the standard coordinator env vars (``COORDINATOR_ADDRESS`` etc. /
+    TPU metadata autodetection).  Returns the process count.  Safe to call
+    single-process (no coordinator configured -> no-op).
+    """
+    import os
+    if jax.process_count() > 1:
+        return jax.process_count()     # already initialized
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_count()
+
+
+def local_batch_size(global_batch: int, a_batch_size: int = 1,
+                     n_processes: Optional[int] = None) -> int:
+    """This process's share of the global batch (whole author groups)."""
+    n = n_processes if n_processes is not None else jax.process_count()
+    per, rem = divmod(global_batch, n)
+    if rem or (a_batch_size > 1 and per % a_batch_size):
+        raise ValueError(
+            f"global batch {global_batch} over {n} processes gives {per} "
+            f"(+{rem}) lines/process — must split into whole author groups "
+            f"of {a_batch_size}")
+    return per
+
+
+def place_global(mesh: Mesh, x, sharding: Optional[NamedSharding] = None):
+    """Batch-sharded global array from (process-local) host data.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process SPMD:
+    every process holds ``1/process_count`` of the global batch and the
+    pieces are assembled with ``jax.make_array_from_process_local_data``
+    (addressable shards stay host-local; no DCN transfer).
+    """
+    s = sharding if sharding is not None else batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    return jax.make_array_from_process_local_data(s, np.asarray(x))
 
 
 def pad_batch_to_devices(batch: Dict[str, Any], n_devices: int

@@ -115,7 +115,7 @@ class AutoTrainer:
     def train(self, iterations: Optional[int] = None,
               log_every: Optional[int] = None,
               val_every: Optional[int] = None, val_batches: int = 5,
-              on_log=None) -> TrainLog:
+              on_log=None, mesh=None) -> TrainLog:
         c = self.cfg
         iterations = iterations or c.trainer.iterations
         log_every = log_every or c.trainer.log_step
@@ -129,6 +129,12 @@ class AutoTrainer:
         self.state = self.init_state(next(it))
         if ckpt.has_latest():
             self.state = ckpt.latest(self.state)
+        place = lambda x: x
+        if mesh is not None:
+            from handwriting_line_generation_tpu.parallel.mesh import (
+                place_global, replicate_state)
+            self.state = replicate_state(mesh, self.state)
+            place = lambda x: place_global(mesh, x)
         start = int(self.state.step)
         import signal
 
@@ -141,9 +147,9 @@ class AutoTrainer:
             for i in range(start + 1, iterations + 1):
                 batch = next(it)
                 self.state, out = self.train_step(
-                    self.state, jnp.asarray(batch["image"]),
-                    jnp.asarray(batch["label"]),
-                    jnp.asarray(batch["label_lengths"]))
+                    self.state, place(jnp.asarray(batch["image"])),
+                    place(jnp.asarray(batch["label"])),
+                    place(jnp.asarray(batch["label_lengths"])))
                 # device scalars held as-is; floated lazily at record()
                 log.step({k: v for k, v in out.items() if k != "logp"})
                 if i % log_every == 0:

@@ -608,12 +608,11 @@ class GanTrainer:
         self._place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (
-                batch_sharding, check_group_local, replicate_state)
+                check_group_local, place_global, replicate_state)
             check_group_local(c.data.batch_size, c.data.a_batch_size,
                               mesh.shape["data"])
             self.state = replicate_state(mesh, self.state)
-            bs = batch_sharding(mesh)
-            self._place = lambda x: jax.device_put(x, bs)
+            self._place = lambda x: place_global(mesh, x)
 
         start = int(self.state.step)
         swa_cfg = (c.trainer.swa, c.trainer.swa_start, c.trainer.swa_c_iters)

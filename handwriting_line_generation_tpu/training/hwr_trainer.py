@@ -163,10 +163,9 @@ class HWRTrainer:
         place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (
-                batch_sharding, replicate_state)
+                place_global, replicate_state)
             self.state = replicate_state(mesh, self.state)
-            bs = batch_sharding(mesh)
-            place = lambda x: jax.device_put(x, bs)
+            place = lambda x: place_global(mesh, x)
 
         stop = {"flag": False}
 

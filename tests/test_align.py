@@ -2,6 +2,8 @@
 
 import itertools
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +55,7 @@ def _oracle_dtw(log_probs, labels):
     return arr, np.array(lens)
 
 
+@pytest.mark.compile
 def test_dtw_matches_oracle():
     rng = np.random.default_rng(0)
     for trial in range(6):

@@ -41,6 +41,7 @@ def test_ctc_matches_torch(seed, reduction):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.compile
 def test_ctc_grad_matches_torch():
     rng = np.random.default_rng(7)
     B, T, C, Lmax = 2, 16, 8, 5

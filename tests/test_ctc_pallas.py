@@ -21,6 +21,7 @@ def _case(rng, B=4, T=20, C=9, Lmax=6):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.compile
 def test_pallas_ctc_value_matches_scan(seed):
     rng = np.random.default_rng(seed)
     lp, labels, ilens, llens = _case(rng)
@@ -33,6 +34,7 @@ def test_pallas_ctc_value_matches_scan(seed):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.compile
 def test_pallas_ctc_grad_matches_scan():
     rng = np.random.default_rng(5)
     lp, labels, ilens, llens = _case(rng, B=3, T=16, C=7, Lmax=5)
@@ -51,6 +53,7 @@ def test_pallas_ctc_grad_matches_scan():
     np.testing.assert_allclose(g_ours, g_ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.compile
 def test_pallas_ctc_repeated_chars_and_impossible():
     rng = np.random.default_rng(7)
     B, T, C = 2, 18, 6

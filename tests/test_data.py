@@ -1,6 +1,7 @@
 """Data layer tests: parsers (synthetic XML fixtures), batchers, augmentation."""
 
 import os
+import pytest
 import textwrap
 
 import jax
@@ -136,6 +137,7 @@ def test_otsu_separates_bimodal():
     assert 20 < th < 240
 
 
+@pytest.mark.compile
 def test_augment_shapes_and_effect():
     img = jnp.asarray(np.random.default_rng(0).normal(
         -0.9, 0.1, (2, 64, 96, 1)).astype(np.float32))
@@ -153,6 +155,7 @@ def test_augment_shapes_and_effect():
     assert 0.6 <= float(wscale) <= 1.4
 
 
+@pytest.mark.compile
 def test_deskew_reduces_slant():
     from handwriting_line_generation_tpu.data.synthetic import normalize_image
     base = render_line("lll III lll", IAM_CHARSET, author_id=0, seed=1)
@@ -190,6 +193,7 @@ def test_skeletonize_thins_bar():
     assert np.all((sk == 0) | (ink == 1))     # skeleton subset of ink
 
 
+@pytest.mark.compile
 def test_normalization_augmentation_path():
     from handwriting_line_generation_tpu.ops.augment import (
         apply_augmentation, normalize_line)

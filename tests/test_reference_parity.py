@@ -35,6 +35,7 @@ def ref_correct_pred():
     return ns["correct_pred"]
 
 
+@pytest.mark.compile
 def test_dtw_align_matches_reference_exactly(ref_correct_pred):
     import torch
 

@@ -386,3 +386,45 @@ def test_check_group_local():
         check_group_local(8, 2, 8)       # groups straddle devices
     with pytest.raises(ValueError):
         check_group_local(12, 1, 8)      # uneven split
+
+
+def test_multihost_helpers():
+    """Multi-host SPMD plumbing (SURVEY.md §5.8): author-aware host shards
+    partition the records; local batch math demands whole author groups;
+    place_global on one process == a sharded device_put."""
+    from handwriting_line_generation_tpu.config import MeshConfig
+    from handwriting_line_generation_tpu.parallel.mesh import (
+        batch_sharding, local_batch_size, make_mesh, place_global,
+        shard_records_for_host)
+
+    class R:
+        def __init__(self, author):
+            self.author = author
+
+    records = [R(f"a{i % 5}") for i in range(20)]
+    shards = [shard_records_for_host(records, n_hosts=2, host_id=h,
+                                     by_author=lambda r: r.author)
+              for h in range(2)]
+    # disjoint authors, full coverage
+    a0 = {r.author for r in shards[0]}
+    a1 = {r.author for r in shards[1]}
+    assert not (a0 & a1)
+    assert len(shards[0]) + len(shards[1]) == len(records)
+    # line-level striding covers everything too
+    s = [shard_records_for_host(records, n_hosts=3, host_id=h)
+         for h in range(3)]
+    assert sum(len(x) for x in s) == len(records)
+
+    assert local_batch_size(16, 2) == 16         # single process: all local
+    assert local_batch_size(16, 2, n_processes=4) == 4
+    with pytest.raises(ValueError):
+        local_batch_size(10, 1, n_processes=4)   # uneven split
+    with pytest.raises(ValueError):
+        local_batch_size(12, 4, n_processes=2)   # straddles author groups
+
+    mesh = make_mesh(MeshConfig(data=8), jax.devices()[:8])
+    x = np.arange(16.0).reshape(16, 1)
+    a = place_global(mesh, x)
+    b = jax.device_put(x, batch_sharding(mesh))
+    assert a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

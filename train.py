@@ -31,7 +31,22 @@ def main():
                          "autograd-anomaly mode, base_trainer.py:196-197)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the run into DIR")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host SPMD: jax.distributed.initialize() + "
+                         "per-process dataset sharding (SURVEY.md §5.8)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="data-parallel mesh size (0 = single device when "
+                         "one chip is attached, else all local devices)")
     args = ap.parse_args()
+
+    import os
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # the axon TPU plugin wins platform selection over the env var
+        # (same guard as __graft_entry__.dryrun_multichip); honor an
+        # explicit JAX_PLATFORMS=cpu so virtual-mesh CPU runs never touch
+        # the (exclusive) TPU tunnel
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.debug:
         import jax
@@ -52,6 +67,19 @@ def main():
         print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
                           for k, v in entry.items()}), flush=True)
 
+    mesh = None
+    if args.distributed or args.mesh:
+        import jax
+        from handwriting_line_generation_tpu.config import MeshConfig
+        from handwriting_line_generation_tpu.parallel.mesh import (
+            init_distributed, make_mesh)
+        if args.distributed:
+            init_distributed()
+        n = args.mesh or jax.device_count()
+        mesh = make_mesh(MeshConfig(data=n))
+        print(f"SPMD: {jax.process_count()} process(es), "
+              f"{n}-device data mesh", flush=True)
+
     kind = cfg.trainer.kind
     if kind == "hwr":
         from handwriting_line_generation_tpu.training.hwr_trainer import \
@@ -70,10 +98,10 @@ def main():
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
-            trainer.train(on_log=log)
+            trainer.train(on_log=log, mesh=mesh)
         print(f"profiler trace written to {args.profile}", flush=True)
     else:
-        trainer.train(on_log=log)
+        trainer.train(on_log=log, mesh=mesh)
 
 
 if __name__ == "__main__":
