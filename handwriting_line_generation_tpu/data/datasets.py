@@ -325,8 +325,12 @@ def make_batcher(cfg: DataConfig, split: str):
         from handwriting_line_generation_tpu.parallel.mesh import (
             local_batch_size, shard_records_for_host)
         line_level = cfg.dataset in ("iam_lines", "iam_words")
-        batch_size = local_batch_size(
-            cfg.batch_size, 1 if line_level else cfg.a_batch_size)
+        if line_level:                # batch_size counts lines
+            batch_size = local_batch_size(cfg.batch_size, 1)
+        else:                         # batch_size counts author groups
+            batch_size = local_batch_size(
+                cfg.batch_size * cfg.a_batch_size,
+                cfg.a_batch_size) // cfg.a_batch_size
         records = shard_records_for_host(
             records, by_author=None if line_level else (lambda r: r.author))
     if cfg.dataset in ("iam_lines", "iam_words"):

@@ -80,30 +80,32 @@ class QualityEvaluator:
 
     # -- pieces ----------------------------------------------------------
 
-    def style_metrics(self, batcher, max_batches: Optional[int] = None
-                      ) -> Dict:
+    def style_metrics(self, batcher, max_batches: Optional[int] = None,
+                      with_features: bool = False) -> Dict:
+        """Style-space metrics in ONE dataset sweep; with ``with_features``
+        the FID real-feature pass piggybacks on the same batches instead of
+        re-iterating the data pipeline + HWR forward."""
         ext = StyleExtractor(self.model, self.params)
-        data = ext.extract_dataset(batcher, max_batches)
+        feats: List[np.ndarray] = []
+
+        def grab_features(batch):
+            image = jnp.asarray(batch["image"])
+            frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
+                              image.shape[2] // 4)
+            feats.append(np.asarray(self._feats(self.params, image, frames)))
+
+        data = ext.extract_dataset(
+            batcher, max_batches,
+            on_batch=grab_features if with_features else None)
         out = {}
         out.update({f"style_{k}": v
                     for k, v in inter_intra_distances(data).items()})
         out.update({f"writer_id_{k}": v
                     for k, v in writer_id_retrieval(data).items()})
         self._style_bank = np.asarray(data["styles"])
+        self._real_feats = (np.concatenate(feats, axis=0) if feats
+                            else None)
         return out
-
-    def real_features(self, batcher, max_batches: Optional[int] = None
-                      ) -> np.ndarray:
-        feats: List[np.ndarray] = []
-        rng = np.random.default_rng(self.seed)
-        for i, batch in enumerate(batcher.batches(rng, shuffle=False)):
-            if max_batches is not None and i >= max_batches:
-                break
-            image = jnp.asarray(batch["image"])
-            frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
-                              image.shape[2] // 4)
-            feats.append(np.asarray(self._feats(self.params, image, frames)))
-        return np.concatenate(feats, axis=0)
 
     def generate_and_read(self, texts: Sequence[str], bank: np.ndarray,
                           batch: int = 32,
@@ -111,6 +113,14 @@ class QualityEvaluator:
                           out_dir: Optional[str] = None) -> Dict:
         """Render ``texts`` with interpolated bank styles; frozen HWR reads
         them back.  Returns gen-CER/WER, generated features, and preds."""
+        if not len(texts):
+            raise ValueError(
+                "generate_and_read: no texts to render — pass --texts, set "
+                "data.text_data, or use a split with real transcriptions")
+        if not len(bank):
+            raise ValueError(
+                "generate_and_read: empty style bank — the style-extraction "
+                "pass produced no styles (empty split?)")
         session = GenerationSession(self.model, self.params, self.charset)
         rng = np.random.default_rng(self.seed)
         label_len = max(max(len(t) for t in texts), 1)
@@ -162,14 +172,15 @@ class QualityEvaluator:
             max_batches: Optional[int] = None,
             gen_batch: int = 32,
             out_dir: Optional[str] = None) -> Dict:
-        out = self.style_metrics(batcher, max_batches)
+        out = self.style_metrics(batcher, max_batches,
+                                 with_features=self.has_features)
         gen = self.generate_and_read(texts, self._style_bank,
                                      batch=gen_batch, out_dir=out_dir)
         out["gen_CER"] = gen["gen_CER"]
         out["gen_WER"] = gen["gen_WER"]
-        if self.has_features:
-            real = self.real_features(batcher, max_batches)
-            out["fid_hwr"] = frechet_distance(real, gen["features"])
+        if self.has_features and self._real_feats is not None:
+            out["fid_hwr"] = frechet_distance(self._real_feats,
+                                              gen["features"])
         return out
 
 

@@ -53,15 +53,23 @@ class StyleExtractor:
         return mlp.apply({"params": sub}, style)
 
     def extract_dataset(self, batcher, max_batches: Optional[int] = None,
-                        through_emb: bool = False) -> Dict:
+                        through_emb: bool = False,
+                        on_batch=None) -> Dict:
         """-> {'styles': [N, D], 'authors': [N], 'ids': [N]} (one entry per
         author group, matching the per-instance loop of
-        ``get_styles.py:175-255``)."""
+        ``get_styles.py:175-255``).
+
+        ``on_batch(batch)``: optional hook invoked on every consumed batch —
+        lets callers (e.g. the quality harness' FID feature pass) piggyback
+        on this single dataset sweep instead of re-iterating the pipeline.
+        """
         styles, authors, ids = [], [], []
         rng = np.random.default_rng(0)
         for i, batch in enumerate(batcher.batches(rng, shuffle=False)):
             if max_batches is not None and i >= max_batches:
                 break
+            if on_batch is not None:
+                on_batch(batch)
             a = batch.get("a_batch_size", 1)
             style, _ = self._extract(jnp.asarray(batch["image"]), a)
             if through_emb:

@@ -67,14 +67,18 @@ def replicate_state(mesh: Mesh, state):
     return jax.device_put(state, rep)
 
 
-def check_group_local(batch_size: int, a_batch_size: int,
+def check_group_local(batch_lines: int, a_batch_size: int,
                       n_devices: int) -> None:
-    """Require whole author groups per device (see module docstring)."""
-    per_dev, rem = divmod(batch_size, n_devices)
+    """Require whole author groups per device (see module docstring).
+
+    ``batch_lines`` is the array batch dimension in LINES — for author
+    batchers that is ``cfg.data.batch_size * cfg.data.a_batch_size``
+    (config ``batch_size`` counts author groups, ``README.md:99``)."""
+    per_dev, rem = divmod(batch_lines, n_devices)
     if rem or (a_batch_size > 1 and per_dev % a_batch_size):
         raise ValueError(
-            f"batch_size {batch_size} over {n_devices} devices gives "
-            f"{batch_size / n_devices} lines/device, which does not hold "
+            f"batch of {batch_lines} lines over {n_devices} devices gives "
+            f"{batch_lines / n_devices} lines/device, which does not hold "
             f"whole author groups of {a_batch_size} — the group collapse "
             f"would all-to-all across devices")
 
@@ -107,24 +111,32 @@ def init_distributed() -> int:
     single-process (no coordinator configured -> no-op).
     """
     import os
-    if jax.process_count() > 1:
-        return jax.process_count()     # already initialized
+    # Do NOT probe jax.process_count() first: it initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    # ("must be called before any JAX calls").  Initialize eagerly and
+    # treat "already initialized" as success.
     if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
             "JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     return jax.process_count()
 
 
-def local_batch_size(global_batch: int, a_batch_size: int = 1,
+def local_batch_size(global_lines: int, a_batch_size: int = 1,
                      n_processes: Optional[int] = None) -> int:
-    """This process's share of the global batch (whole author groups)."""
+    """This process's share of a ``global_lines``-line batch (whole author
+    groups).  Config ``batch_size`` counts GROUPS for author batchers —
+    convert (``batch_size * a_batch_size``) before calling."""
     n = n_processes if n_processes is not None else jax.process_count()
-    per, rem = divmod(global_batch, n)
+    per, rem = divmod(global_lines, n)
     if rem or (a_batch_size > 1 and per % a_batch_size):
         raise ValueError(
-            f"global batch {global_batch} over {n} processes gives {per} "
-            f"(+{rem}) lines/process — must split into whole author groups "
-            f"of {a_batch_size}")
+            f"global batch of {global_lines} lines over {n} processes gives "
+            f"{per} (+{rem}) lines/process — must split into whole author "
+            f"groups of {a_batch_size}")
     return per
 
 
@@ -140,6 +152,33 @@ def place_global(mesh: Mesh, x, sharding: Optional[NamedSharding] = None):
     if jax.process_count() == 1:
         return jax.device_put(x, s)
     return jax.make_array_from_process_local_data(s, np.asarray(x))
+
+
+def fetch(x) -> np.ndarray:
+    """Host numpy from a possibly-global array.
+
+    Single-process: plain ``np.asarray``.  Multi-process: a batch-sharded
+    global array has non-addressable shards, so gather it to every host
+    first (``process_allgather``) — used by validation decode channels and
+    sample dumps."""
+    if not hasattr(x, "sharding") or jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def local_rows(arr: np.ndarray) -> np.ndarray:
+    """This process's row range of a fetched global batch array.
+
+    ``place_global`` lays out the global batch process-major (each host's
+    shard occupies rows ``[p*per, (p+1)*per)``), so these are the rows that
+    pair with this process's host-side ground truth."""
+    n = jax.process_count()
+    if n == 1:
+        return arr
+    per = arr.shape[0] // n
+    p = jax.process_index()
+    return arr[p * per:(p + 1) * per]
 
 
 def pad_batch_to_devices(batch: Dict[str, Any], n_devices: int

@@ -78,7 +78,7 @@ from handwriting_line_generation_tpu.training.train_state import (
 )
 from handwriting_line_generation_tpu.utils.checkpoint import (
     CheckpointManager, checkpoint_exists, extract_subtree, load_checkpoint,
-    save_checkpoint,
+    load_meta, save_checkpoint,
 )
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
@@ -135,9 +135,13 @@ class GanTrainer:
         self.balance = bool(c.trainer.balance_loss)
         self.gen_spaced_len = min(c.model.max_gen_length,
                                   max(c.data.label_buckets) * 6)
+        # gen-only text lessons must match the image-lesson batch dim; under
+        # multi-host SPMD each process samples only its local share (the
+        # image batchers shard the same way in make_batcher)
         self.text = TextSampler(
             self.charset,
-            batch_size=c.data.batch_size * c.data.a_batch_size,
+            batch_size=(c.data.batch_size * c.data.a_batch_size
+                        // jax.process_count()),
             corpus_path=(c.data.text_data
                          if c.data.text_data and
                          os.path.exists(c.data.text_data)
@@ -316,8 +320,8 @@ class GanTrainer:
         # there so padding can't absorb emissions
         frames = jnp.clip(aux["total_len"], 1, spaced_len)
 
-        def recog_head(im):
-            logp = self.model.apply({"params": state.params}, im,
+        def recog_head(im, params):
+            logp = self.model.apply({"params": params}, im,
                                     method="recognize")
             logp = mask_frames_to_blank(logp, frames)
             return self._ctc(logp, label, lens, self.w["genRecog"])
@@ -329,10 +333,20 @@ class GanTrainer:
                                        "discriminate", im, **kw)
             return self.w["generator"] * gen_adv_loss(scores), spec
 
-        recog_l, ct_recog = jax.value_and_grad(recog_head)(img)
+        if self.cfg.model.hwr_frozen:       # paper path: no direct HWR grad
+            recog_l, ct_recog = jax.value_and_grad(
+                lambda im: recog_head(im, state.params))(img)
+            recog_p = None
+        else:                               # joint training: the CTC loss
+            # must also reach the recognizer's own parameters, not only
+            # flow back through the generated image
+            recog_l, (ct_recog, recog_p) = jax.value_and_grad(
+                recog_head, argnums=(0, 1))(img, state.params)
         (adv_l, spec), ct_adv = jax.value_and_grad(adv_head, has_aux=True)(
             img)
         recog_g = gen_vjp(ct_recog)[0]
+        if recog_p is not None:
+            recog_g = _tree_add(recog_g, recog_p)
         adv_g = gen_vjp(ct_adv)[0]
         return state.replace(
             step=state.step + 1, rng=rng, spectral=spec,
@@ -365,9 +379,11 @@ class GanTrainer:
         of the reconstruction alone, so its parameter gradient is the shared
         VJP applied to its image cotangent (1 forward + 3 image-space heads
         + up to 3 VJP backwards, vs the reference's 3 full
-        forward+backwards).  Head gradients w.r.t. discriminator / frozen
-        HWR parameters are dropped — their optimizer partitions are
-        ``set_to_zero`` so they never reach an update.
+        forward+backwards).  Head gradients w.r.t. discriminator parameters
+        are dropped — their optimizer partition is ``set_to_zero`` so they
+        never reach an update.  When ``hwr_frozen`` is off (joint HWR
+        training), the recog heads additionally take the direct gradient
+        w.r.t. the recognizer's own parameters.
         """
         rng, aug_key, nrng = jax.random.split(state.rng, 3)
         image, fg_mask, wscale = apply_augmentation(
@@ -404,8 +420,8 @@ class GanTrainer:
                                        "discriminate", r, **kw)
             return self.w["generator"] * gen_adv_loss(scores), spec
 
-        def recog_head(r):
-            logp = self.model.apply({"params": state.params}, r,
+        def recog_head(r, params):
+            logp = self.model.apply({"params": params}, r,
                                     method="recognize")
             logp = mask_frames_to_blank(logp, frames)
             return self._ctc(logp, label, lens, self.w["reconRecog"])
@@ -414,12 +430,21 @@ class GanTrainer:
             main_head, has_aux=True)(recon)
         (adv_l, spec), ct_adv = jax.value_and_grad(adv_head, has_aux=True)(
             recon)
-        recog_l, ct_recog = jax.value_and_grad(recog_head)(recon)
+        if self.cfg.model.hwr_frozen:       # paper path: no direct HWR grad
+            recog_l, ct_recog = jax.value_and_grad(
+                lambda r: recog_head(r, state.params))(recon)
+            recog_p = None
+        else:                               # joint training: reconRecog CTC
+            # must also train the recognizer itself
+            recog_l, (ct_recog, recog_p) = jax.value_and_grad(
+                recog_head, argnums=(0, 1))(recon, state.params)
         main_g = ae_vjp(ct_main)[0]
 
         if self.balance:
             adv_g = ae_vjp(ct_adv)[0]
             recog_g = ae_vjp(ct_recog)[0]
+            if recog_p is not None:
+                recog_g = _tree_add(recog_g, recog_p)
             # multipliers are trace-time constants keyed on the static
             # bal_stage, so scheduled balance_var_x changes re-jit once per
             # stage (trainer:361-366)
@@ -443,6 +468,8 @@ class GanTrainer:
             logs["gnorm_merged"] = optax_global_norm(merged)
         else:
             both_g = ae_vjp(ct_adv + ct_recog)[0]
+            if recog_p is not None:
+                both_g = _tree_add(both_g, recog_p)
             saved = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(state.have_saved, a + b, 0.0),
                 state.saved_recog, state.saved_adv)
@@ -471,10 +498,15 @@ class GanTrainer:
                "pred_am": jnp.argmax(aux["pred"], axis=-1)}
         return new, out
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def step_disc(self, state: GanTrainState, image, label, lens
-                  ) -> Tuple[GanTrainState, Dict]:
-        """Lesson ["disc"]: hinge on real vs generated (trainer:788-806)."""
+    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=1)
+    def step_disc(self, state: GanTrainState, image, label, lens,
+                  a_batch: int = 1) -> Tuple[GanTrainState, Dict]:
+        """Lesson ["disc"]: hinge on real vs generated (trainer:788-806).
+
+        ``a_batch``: author-group size for the cond head's real-branch
+        style extraction — must match the group-averaged styles the recon
+        and fake branches condition on, or the head can separate real from
+        fake by conditioning statistics alone."""
         rng, aug_key, krng, nrng, srng = jax.random.split(state.rng, 5)
         image, _, _ = apply_augmentation(self.cfg.data.augmentation, image,
                                          None, aug_key)
@@ -488,7 +520,8 @@ class GanTrainer:
         fake = jax.lax.stop_gradient(fake)
         if self.cfg.model.discriminator.cond:
             style_real, _ = self.model.apply(
-                {"params": state.params}, image, 1, method="extract_style")
+                {"params": state.params}, image, a_batch,
+                method="extract_style")
             style_real = jax.lax.stop_gradient(_flat_style(style_real))
         else:
             style_real = None
@@ -603,14 +636,15 @@ class GanTrainer:
                 self.swa_params = load_checkpoint(
                     ckpt.directory, "checkpoint-latest-swa",
                     jax.tree_util.tree_map(np.asarray, self.state.params))
-                self.swa_n = int(load_meta_safe(
-                    ckpt.directory, "checkpoint-latest-swa").get("swa_n", 1))
+                self.swa_n = int(load_meta(
+                    ckpt.directory, "checkpoint-latest-swa",
+                    default={}).get("swa_n", 1))
         self._place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (
                 check_group_local, place_global, replicate_state)
-            check_group_local(c.data.batch_size, c.data.a_batch_size,
-                              mesh.shape["data"])
+            check_group_local(c.data.batch_size * c.data.a_batch_size,
+                              c.data.a_batch_size, mesh.shape["data"])
             self.state = replicate_state(mesh, self.state)
             self._place = lambda x: place_global(mesh, x)
 
@@ -714,7 +748,9 @@ class GanTrainer:
         if self._last_pred is None:
             return {}
         am, gt = self._last_pred
-        preds = collapse_argmax_batch(np.asarray(am), self.charset)
+        from handwriting_line_generation_tpu.parallel.mesh import (
+            fetch, local_rows)
+        preds = collapse_argmax_batch(local_rows(fetch(am)), self.charset)
         cer, wer = batch_cer_wer(gt, preds)
         return {"CER": cer, "WER": wer}
 
@@ -797,7 +833,8 @@ class GanTrainer:
                 # keep the device array; _train_cer converts at log time
                 self._last_pred = (pred_am, list(batch["gt"]))
         elif "disc" in lesson:
-            self.state, out = self.step_disc(self.state, image, label, lens)
+            self.state, out = self.step_disc(self.state, image, label, lens,
+                                             a_batch)
         else:
             raise ValueError(f"no step for lesson {lesson}")
         return out
@@ -813,15 +850,19 @@ class GanTrainer:
         gpreds: List[str] = []
         n = 0
         params = self.state.params if params is None else params
+        place = getattr(self, "_place", lambda x: x)
+        from handwriting_line_generation_tpu.parallel.mesh import (
+            fetch as _fetch, local_rows)
+        fetch = lambda x: local_rows(_fetch(x))   # rows paired with local gt
         for i, batch in enumerate(batcher.batches(np.random.default_rng(0),
                                                   shuffle=False)):
             if max_batches is not None and i >= max_batches:
                 break
-            label = jnp.asarray(batch["label"])
-            lens = jnp.asarray(batch["label_lengths"])
-            out = self.eval_step(params, jnp.asarray(batch["image"]),
+            label = place(jnp.asarray(batch["label"]))
+            lens = place(jnp.asarray(batch["label_lengths"]))
+            out = self.eval_step(params, place(jnp.asarray(batch["image"])),
                                  label, lens,
-                                 jnp.asarray(batch["width"]),
+                                 place(jnp.asarray(batch["width"])),
                                  batch.get("a_batch_size", 1))
             gen = self.eval_gen_step(params, label, lens,
                                      self.gen_spaced_len,
@@ -829,11 +870,11 @@ class GanTrainer:
                                      self.state.bank_count,
                                      jax.random.PRNGKey(1000 + i))
             gts.extend(batch["gt"])
-            preds.extend(collapse_argmax_batch(np.asarray(out["pred_am"]),
+            preds.extend(collapse_argmax_batch(fetch(out["pred_am"]),
                                                self.charset))
-            rpreds.extend(collapse_argmax_batch(np.asarray(out["recon_am"]),
+            rpreds.extend(collapse_argmax_batch(fetch(out["recon_am"]),
                                                 self.charset))
-            gpreds.extend(collapse_argmax_batch(np.asarray(gen["gen_am"]),
+            gpreds.extend(collapse_argmax_batch(fetch(gen["gen_am"]),
                                                 self.charset))
             for k, v in out.items():
                 if k.endswith("_am"):
@@ -858,27 +899,36 @@ class GanTrainer:
         os.makedirs(out_dir, exist_ok=True)
         batch = next(valid_b.batches(np.random.default_rng(7),
                                      shuffle=False))
-        image = jnp.asarray(batch["image"])
-        label = jnp.asarray(batch["label"])
-        lens = jnp.asarray(batch["label_lengths"])
-        width = jnp.asarray(batch["width"])
+        place = getattr(self, "_place", lambda x: x)
+        from handwriting_line_generation_tpu.parallel.mesh import (
+            fetch as _fetch, local_rows)
+        fetch = lambda x: local_rows(_fetch(x))   # rows paired with local gt
+        image = place(jnp.asarray(batch["image"]))
+        label = place(jnp.asarray(batch["label"]))
+        lens = place(jnp.asarray(batch["label_lengths"]))
+        width = place(jnp.asarray(batch["width"]))
         params = self.state.params
+        # every process joins the sharded computes; only process 0 writes
         gen = self.eval_gen_render(params, self.state.spectral, label, lens,
                                    self.gen_spaced_len,
                                    self.state.style_bank,
                                    self.state.bank_count,
                                    jax.random.PRNGKey(iteration))
-        self._write_strip(
-            os.path.join(out_dir, f"iter{iteration}_gen.png"),
-            np.asarray(gen["img"]), batch["gt"])
-        # alternate: recon strip via a dedicated render (reference
-        # alternates gen/recon dumps; we write both each time)
         rec = self._recon_render(params, self.state.spectral, image, label,
                                  lens, width, batch.get("a_batch_size", 1))
+        gen_img, rec_img, orig = (fetch(gen["img"]), fetch(rec["recon"]),
+                                  fetch(image))
+        if jax.process_index() != 0:
+            return
+        self._write_strip(
+            os.path.join(out_dir, f"iter{iteration}_gen.png"),
+            gen_img, batch["gt"])
+        # alternate: recon strip via a dedicated render (reference
+        # alternates gen/recon dumps; we write both each time)
         self._write_strip(
             os.path.join(out_dir, f"iter{iteration}_recon.png"),
-            np.asarray(rec["recon"]), batch["gt"],
-            originals=np.asarray(image))
+            rec_img, batch["gt"],
+            originals=orig)
         with open(os.path.join(out_dir, "disc_scores.txt"), "a") as f:
             f.write(f"iter {iteration}: real "
                     f"{float(rec['d_real']):.4f} fake "
@@ -921,19 +971,20 @@ class GanTrainer:
                      originals: Optional[np.ndarray] = None,
                      max_rows: int = 8) -> None:
         import cv2
+
+        from handwriting_line_generation_tpu.inference.generate import \
+            to_uint8
         rows = []
         W = imgs.shape[2]
         for i in range(min(imgs.shape[0], max_rows)):
             if originals is not None:
-                o = ((1 - originals[i, :, :, 0]) * 127.5).clip(0, 255)
+                o = to_uint8(originals[i])
                 ow = o.shape[1]
                 if ow < W:
                     o = np.pad(o, ((0, 0), (0, W - ow)),
                                constant_values=255)
-                rows += [o[:, :W].astype(np.uint8),
-                         np.full((2, W), 128, np.uint8)]
-            g = ((1 - imgs[i, :, :, 0]) * 127.5).clip(0, 255)
-            rows += [g.astype(np.uint8), np.full((6, W), 60, np.uint8)]
+                rows += [o[:, :W], np.full((2, W), 128, np.uint8)]
+            rows += [to_uint8(imgs[i]), np.full((6, W), 60, np.uint8)]
         cv2.imwrite(path, np.concatenate(rows))
 
 
@@ -942,10 +993,3 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
 
 
-def load_meta_safe(directory: str, name: str) -> Dict:
-    import json
-    path = os.path.join(directory, name + ".json")
-    if not os.path.exists(path):
-        return {}
-    with open(path) as f:
-        return json.load(f)

@@ -55,8 +55,14 @@ def load_checkpoint(directory: str, name: str, template: Any) -> Any:
         return serialization.from_bytes(template, f.read())
 
 
-def load_meta(directory: str, name: str) -> Dict:
-    with open(os.path.join(directory, name + ".json")) as f:
+def load_meta(directory: str, name: str,
+              default: Optional[Dict] = None) -> Dict:
+    """Checkpoint sidecar meta; ``default`` (e.g. ``{}``) instead of raising
+    when the file is absent."""
+    path = os.path.join(directory, name + ".json")
+    if default is not None and not os.path.exists(path):
+        return default
+    with open(path) as f:
         return json.load(f)
 
 
@@ -94,7 +100,18 @@ class CheckpointManager:
         self.directory = directory
         self.save_step = save_step
         self.save_step_minor = save_step_minor
+        # restore the monitored best across (soft) resumes — without this a
+        # resumed run's first noisy validation would clobber a better
+        # model_best from before the restart
         self.best = float("inf")
+        best_meta = os.path.join(directory, "model_best.json")
+        if os.path.exists(best_meta):
+            try:
+                with open(best_meta) as f:
+                    self.best = float(json.load(f).get(
+                        "monitor_value", float("inf")))
+            except (ValueError, OSError):
+                pass
         # mirror directory (reference INTERACTIVE_SESSION_ARCHIVE,
         # base_trainer.py:188-191,392-393); also honors the env var
         self.archive_dir = archive_dir or os.environ.get(
@@ -133,6 +150,7 @@ class CheckpointManager:
             _save("checkpoint-latest")
         if monitor_value is not None and monitor_value < self.best:
             self.best = monitor_value
+            meta = dict(meta, monitor_value=float(monitor_value))
             _save("model_best", best_tree)
 
     def latest(self, template: Any):

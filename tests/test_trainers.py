@@ -428,3 +428,60 @@ def test_multihost_helpers():
     b = jax.device_put(x, batch_sharding(mesh))
     assert a.sharding == b.sharding
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_make_batcher_shards_per_process(monkeypatch):
+    """Under multi-process SPMD each process builds 1/N of the global batch
+    from its own author shard (config batch_size counts author GROUPS)."""
+    import handwriting_line_generation_tpu.data.datasets as D
+
+    cfg = DataConfig(dataset="synthetic", batch_size=2, a_batch_size=2,
+                     width_buckets=(192,), label_buckets=(12,),
+                     augmentation=None, synthetic_authors=8,
+                     synthetic_lines=6)
+    full = make_batcher(cfg, "train")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    local = make_batcher(cfg, "train")
+    # half the groups per batch, disjoint author shard
+    assert local.batch_size * 2 == full.batch_size
+    full_authors = {g[0].author for g in full.groups}
+    local_authors = {g[0].author for g in local.groups}
+    assert local_authors < full_authors
+    assert len(local_authors) * 2 == len(full_authors)
+    b = next(local.batches(np.random.default_rng(0)))
+    assert b["image"].shape[0] == 2        # 1 group x a_batch 2 lines
+
+
+def test_checkpoint_best_survives_resume(tmp_path):
+    """model_best's monitored value persists in its meta and is restored by
+    a fresh CheckpointManager — a resumed run's first (worse) validation
+    must not clobber the historical best (base_trainer.py:374-399)."""
+    from handwriting_line_generation_tpu.utils.checkpoint import (
+        CheckpointManager, load_meta)
+    tree = {"a": np.zeros(2)}
+    ck = CheckpointManager(str(tmp_path), save_step=0, save_step_minor=0)
+    ck.maybe_save(1, tree, {}, monitor_value=0.2)
+    assert load_meta(str(tmp_path), "model_best")["monitor_value"] == 0.2
+    # simulate restart
+    ck2 = CheckpointManager(str(tmp_path), save_step=0, save_step_minor=0)
+    assert ck2.best == 0.2
+    ck2.maybe_save(2, tree, {}, monitor_value=0.3)   # worse: no overwrite
+    assert load_meta(str(tmp_path), "model_best")["iteration"] == 1
+    ck2.maybe_save(3, tree, {}, monitor_value=0.1)   # better: overwrites
+    assert load_meta(str(tmp_path), "model_best")["iteration"] == 3
+
+
+def test_quality_degenerate_inputs_raise():
+    from handwriting_line_generation_tpu.charset import IAM_CHARSET
+    from handwriting_line_generation_tpu.inference.quality import (
+        QualityEvaluator)
+    from handwriting_line_generation_tpu.models.hw_with_style import (
+        HWWithStyle)
+    cfg = _tiny_gan_cfg()
+    model = HWWithStyle(cfg.model)
+    q = QualityEvaluator(model, {}, IAM_CHARSET)
+    with pytest.raises(ValueError, match="no texts"):
+        q.generate_and_read([], np.ones((4, 8)))
+    with pytest.raises(ValueError, match="empty style bank"):
+        q.generate_and_read(["hello"], np.ones((0, 8)))

@@ -40,7 +40,7 @@ def main():
     args = ap.parse_args()
 
     import os
-    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         # the axon TPU plugin wins platform selection over the env var
         # (same guard as __graft_entry__.dryrun_multichip); honor an
         # explicit JAX_PLATFORMS=cpu so virtual-mesh CPU runs never touch
