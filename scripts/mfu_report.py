@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--peak-tflops", type=float, default=197.0)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--config", default="configs/syn_gan_long.json")
+    ap.add_argument("--gen-batch", type=int, default=512)
     args = ap.parse_args()
 
     import jax
@@ -91,6 +92,43 @@ def main():
     achieved = flops / dt_auto
     report["auto_achieved_tflops"] = achieved / 1e12
     report["auto_mfu"] = achieved / (args.peak_tflops * 1e12)
+
+    # generator-inference roofline (the bench.py headline path): bf16
+    # batched generate at paper scale, XLA cost analysis vs wall time
+    from handwriting_line_generation_tpu.inference.generate import \
+        cast_params_bf16
+    gb = args.gen_batch
+    labels = jnp.tile(label[:1, :], (gb, 1))
+    lens_g = jnp.full((gb,), label.shape[1], jnp.int32)
+    styles = jnp.zeros((gb, cfg.model.style.style_dim), jnp.bfloat16)
+    gparams = cast_params_bf16(tr.state.params)
+    spaced = tr.gen_spaced_len
+
+    def gen_fn(p, lb, ln, st):
+        img, _ = tr.model.apply(
+            {"params": p}, lb, ln, st, jax.random.PRNGKey(1),
+            spaced_len=spaced, method="generate",
+            rngs={"noise": jax.random.PRNGKey(2)})
+        return img
+
+    glow = jax.jit(gen_fn).lower(gparams, labels, lens_g, styles)
+    gcost = glow.compile().cost_analysis()
+    if isinstance(gcost, list):
+        gcost = gcost[0]
+    gflops = float(gcost.get("flops", 0.0))
+    gen_c = jax.jit(gen_fn)
+    jax.block_until_ready(gen_c(gparams, labels, lens_g, styles))
+    t0 = time.perf_counter()
+    for _ in range(max(args.iters // 3, 3)):
+        out = gen_c(gparams, labels, lens_g, styles)
+    jax.block_until_ready(out)
+    dt_gen = (time.perf_counter() - t0) / max(args.iters // 3, 3)
+    report["gen_batch"] = gb
+    report["gen_step_gflops"] = gflops / 1e9
+    report["gen_sec_per_batch"] = dt_gen
+    report["gen_lines_per_sec"] = gb / dt_gen
+    report["gen_achieved_tflops"] = gflops / dt_gen / 1e12
+    report["gen_mfu"] = gflops / dt_gen / (args.peak_tflops * 1e12)
     print(json.dumps(report, indent=2))
 
 
