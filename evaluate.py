@@ -72,6 +72,10 @@ def main():
                 **({"spectral": ser.from_state_dict(template.spectral,
                                                     raw["spectral"])}
                    if "spectral" in raw else {}))
+        elif set(raw) == set(template.params):   # bare params tree (the
+            # SWA average saved beside checkpoints as <name>-swa)
+            state = template.replace(
+                params=ser.from_state_dict(template.params, raw))
         else:
             state = ser.from_state_dict(template, raw)
     charset = get_charset(cfg.data)

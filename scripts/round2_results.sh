@@ -17,6 +17,20 @@ timeout 1800 python evaluate.py -c configs/syn_gan_long.json \
     --n-gen 200 --texts saved/syn_text.txt -o docs/samples/r2 \
     | tee /tmp/r2/quality.json
 
+if [ -f saved/syn_gan_long/checkpoint-latest-swa.msgpack ]; then
+  echo "== quality (SWA average) =="
+  timeout 1800 python evaluate.py -c configs/syn_gan_long.json \
+      -k saved/syn_gan_long --ckpt-name checkpoint-latest-swa --quality \
+      --n-gen 200 --texts saved/syn_text.txt \
+      | tee /tmp/r2/quality_swa.json
+fi
+
+echo "== quality (latest) =="
+timeout 1800 python evaluate.py -c configs/syn_gan_long.json \
+    -k saved/syn_gan_long --ckpt-name checkpoint-latest --quality \
+    --n-gen 200 --texts saved/syn_text.txt \
+    | tee /tmp/r2/quality_latest.json
+
 echo "== curves =="
 python - <<'EOF'
 import json
