@@ -146,6 +146,9 @@ class DataConfig:
     num_workers: int = 2
     synthetic_authors: int = 20      # synthetic-corpus size (fix overfit:
     synthetic_lines: int = 50        # 8x24 memorizes, 20x50 generalizes)
+    u8_transfer: bool = True         # ship images to the device as raw u8
+                                     # pixels (4x fewer host->device bytes;
+                                     # exact — see ops.augment.dequantize_image)
 
 
 @dataclass

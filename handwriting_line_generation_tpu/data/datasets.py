@@ -376,3 +376,14 @@ class Prefetcher:
         if item is None:
             raise (self._err or StopIteration)
         return item
+
+
+def quantize_image_u8(img_f32: np.ndarray) -> np.ndarray:
+    """f32 normalized image -> raw u8 pixels for device transfer.
+
+    Inverse of ``1 - px/128``; exact for any image whose pixels came from
+    u8 sources (all of ours do — IAM/RIMES decode + synthetic renderer).
+    Devices dequantize with :func:`ops.augment.dequantize_image`.
+    """
+    return np.clip(np.rint((1.0 - img_f32) * 128.0), 0, 255).astype(
+        np.uint8)

@@ -311,3 +311,37 @@ def apply_augmentation(kind: Optional[str], img: jnp.ndarray,
     out = tensmeyer_brightness(img, k1)
     out = grid_warp(out, k2)
     return out, fg_mask, one
+
+
+# ---------------------------------------------------------------------------
+# uint8 device transfer (host<->device bandwidth; "minimise host-device
+# transfers" is the TPU design rule — images ship as raw u8 pixels, 4x
+# fewer bytes over PCIe/tunnel, and the linear 1 - px/128 normalization
+# (hw_dataset.py:156-157) runs on device, bit-exact to the f32 host path
+# because every source pixel is an integer)
+# ---------------------------------------------------------------------------
+
+
+def dequantize_image(img, width=None):
+    """u8 pixels -> reference-normalized f32 on device; float passthrough.
+
+    ``width``: per-sample ink widths — columns past them are restored to
+    the exact PAD_VALUE (-1, "whiter than white"), preserving the
+    load-bearing pad semantics (DESIGN.md; ``author_hw_dataset.py:22``)
+    that u8 cannot represent (255 -> -0.9921875, true paper white).
+    """
+    if img.dtype != jnp.uint8:
+        return img
+    x = 1.0 - img.astype(jnp.float32) / 128.0
+    if width is not None:
+        col = jnp.arange(x.shape[2])
+        x = jnp.where(col[None, None, :, None] < width[:, None, None, None],
+                      x, -1.0)
+    return x
+
+
+def fg_to_float(fg):
+    """bool foreground mask -> f32 on device; float passthrough."""
+    if fg is not None and fg.dtype == jnp.bool_:
+        return fg.astype(jnp.float32)
+    return fg

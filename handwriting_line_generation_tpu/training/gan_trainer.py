@@ -63,7 +63,9 @@ from handwriting_line_generation_tpu.models.autoencoder import build_encoder
 from handwriting_line_generation_tpu.models.hw_with_style import (
     HWWithStyle, _flat_style,
 )
-from handwriting_line_generation_tpu.ops.augment import apply_augmentation
+from handwriting_line_generation_tpu.ops.augment import (
+    apply_augmentation, dequantize_image, fg_to_float,
+)
 from handwriting_line_generation_tpu.ops.align import viterbi_align
 from handwriting_line_generation_tpu.ops.ctc import (ctc_loss_fast,
                                                       mask_frames_to_blank)
@@ -257,6 +259,7 @@ class GanTrainer:
                    width, a_batch: int) -> Tuple[GanTrainState, Dict]:
         """Lesson ["count"] (hw_with_style_trainer.py:616-719)."""
         rng, aug_key = jax.random.split(state.rng)
+        image = dequantize_image(image, width)
         image, _, wscale = apply_augmentation(self.cfg.data.augmentation,
                                               image, None, aug_key)
         frames = jnp.clip(jnp.ceil(width * wscale / 4.0).astype(jnp.int32),
@@ -386,6 +389,8 @@ class GanTrainer:
         w.r.t. the recognizer's own parameters.
         """
         rng, aug_key, nrng = jax.random.split(state.rng, 3)
+        image = dequantize_image(image, width)
+        fg_mask = fg_to_float(fg_mask)
         image, fg_mask, wscale = apply_augmentation(
             self.cfg.data.augmentation, image, fg_mask, aug_key)
         frames = jnp.clip(jnp.ceil(width * wscale / 4.0).astype(jnp.int32),
@@ -498,9 +503,10 @@ class GanTrainer:
                "pred_am": jnp.argmax(aux["pred"], axis=-1)}
         return new, out
 
-    @partial(jax.jit, static_argnums=(0, 5), donate_argnums=1)
+    @partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
     def step_disc(self, state: GanTrainState, image, label, lens,
-                  a_batch: int = 1) -> Tuple[GanTrainState, Dict]:
+                  width=None, a_batch: int = 1
+                  ) -> Tuple[GanTrainState, Dict]:
         """Lesson ["disc"]: hinge on real vs generated (trainer:788-806).
 
         ``a_batch``: author-group size for the cond head's real-branch
@@ -508,6 +514,7 @@ class GanTrainer:
         and fake branches condition on, or the head can separate real from
         fake by conditioning statistics alone."""
         rng, aug_key, krng, nrng, srng = jax.random.split(state.rng, 5)
+        image = dequantize_image(image, width)
         image, _, _ = apply_augmentation(self.cfg.data.augmentation, image,
                                          None, aug_key)
         B = label.shape[0]
@@ -806,7 +813,16 @@ class GanTrainer:
                 self.state, label, lens, self.gen_spaced_len)
             return out
         batch = self.pseudo_label_unknown(next(data_iter))
-        image = place(jnp.asarray(batch["image"]))
+        img_host = batch["image"]
+        fg_host = batch.get("fg_mask")
+        if self.cfg.data.u8_transfer:        # 4x fewer host->device bytes;
+            # the jitted steps dequantize (ops.augment.dequantize_image)
+            from handwriting_line_generation_tpu.data.datasets import \
+                quantize_image_u8
+            img_host = quantize_image_u8(img_host)
+            if fg_host is not None:
+                fg_host = fg_host > 0.5
+        image = place(jnp.asarray(img_host))
         label = place(jnp.asarray(batch["label"]))
         lens = place(jnp.asarray(batch["label_lengths"]))
         a_batch = batch.get("a_batch_size", 1)
@@ -815,8 +831,8 @@ class GanTrainer:
             self.state, out = self.step_count(self.state, image, label,
                                               lens, width, a_batch)
         elif "auto" in lesson:
-            fg = (place(jnp.asarray(batch["fg_mask"]))
-                  if "fg_mask" in batch else None)
+            fg = (place(jnp.asarray(fg_host))
+                  if fg_host is not None else None)
             opt_kind = ("gen_only" if "auto-style" in lesson else
                         "style_ex" if "style-ex-only" in lesson else "main")
             # re-jit keyed on the active balance-schedule stage so scheduled
@@ -834,7 +850,7 @@ class GanTrainer:
                 self._last_pred = (pred_am, list(batch["gt"]))
         elif "disc" in lesson:
             self.state, out = self.step_disc(self.state, image, label, lens,
-                                             a_batch)
+                                             width, a_batch)
         else:
             raise ValueError(f"no step for lesson {lesson}")
         return out

@@ -85,8 +85,11 @@ class HWRTrainer:
         rng, aug_key = jax.random.split(state.rng)
 
         def loss_fn(params):
-            img, _, wscale = apply_augmentation(self.augmentation, image,
-                                                None, aug_key)
+            from handwriting_line_generation_tpu.ops.augment import \
+                dequantize_image
+            img, _, wscale = apply_augmentation(
+                self.augmentation, dequantize_image(image, width), None,
+                aug_key)
             logp = self.model.apply(params, img)
             # confine emissions to each sample's true (stretched) ink width:
             # otherwise CTC parks its spikes in the pad region and forced
@@ -176,8 +179,13 @@ class HWRTrainer:
             start = int(self.state.step)
             for i in range(start + 1, iterations + 1):
                 batch = next(it)
+                img_host = batch["image"]
+                if c.data.u8_transfer:    # 4x fewer host->device bytes
+                    from handwriting_line_generation_tpu.data.datasets \
+                        import quantize_image_u8
+                    img_host = quantize_image_u8(img_host)
                 self.state, out = self.train_step(
-                    self.state, place(jnp.asarray(batch["image"])),
+                    self.state, place(jnp.asarray(img_host)),
                     place(jnp.asarray(batch["label"])),
                     place(jnp.asarray(batch["label_lengths"])),
                     place(jnp.asarray(batch["width"])))

@@ -21,7 +21,15 @@ python train.py -c configs/syn_auto_2tight.json -r >> saved/syn_auto.log 2>&1 \
   || { echo "[pipeline] auto stage failed" >> saved/pipeline.log; exit 1; }
 
 echo "[pipeline] stage 3: GAN" >> saved/pipeline.log
-python train.py -c configs/syn_gan_long.json -r >> saved/syn_gan.log 2>&1 \
-  || { echo "[pipeline] GAN stage failed" >> saved/pipeline.log; exit 1; }
+# The dev-env TPU tunnel leaks host memory per dispatch (~130GB RSS after
+# ~120k iterations -> OOM kill).  The GAN stage soft-resumes, so retry in a
+# loop: each incarnation continues from checkpoint-latest.
+for attempt in 1 2 3 4 5 6 7 8; do
+  python train.py -c configs/syn_gan_long.json -r >> saved/syn_gan.log 2>&1 \
+    && break
+  echo "[pipeline] GAN attempt $attempt died (tunnel leak / OOM); retrying" \
+    >> saved/pipeline.log
+  sleep 10
+done
 
 echo "[pipeline] done" >> saved/pipeline.log

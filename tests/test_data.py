@@ -267,3 +267,35 @@ def test_rimes_pair_combinations():
     # single line self-pairs, author_hw_dataset.py:166-189 semantics)
     b2 = AuthorBatcher(recs, IAM_CHARSET, 1, 2, cfg, with_fg=False)
     assert len(b2.groups) == 3
+
+
+def test_u8_transfer_roundtrip_exact():
+    """quantize_image_u8 -> dequantize_image reproduces the f32 host image
+    bit-exactly, including the -1 PAD_VALUE columns (u8 cannot encode
+    'whiter than white'; the width mask restores it)."""
+    import jax.numpy as jnp
+
+    from handwriting_line_generation_tpu.config import DataConfig
+    from handwriting_line_generation_tpu.data.datasets import (
+        make_batcher, quantize_image_u8)
+    from handwriting_line_generation_tpu.ops.augment import (
+        dequantize_image, fg_to_float)
+
+    cfg = DataConfig(dataset="synthetic", batch_size=2, a_batch_size=2,
+                     width_buckets=(192,), label_buckets=(12,),
+                     augmentation=None, synthetic_authors=4,
+                     synthetic_lines=4)
+    b = next(make_batcher(cfg, "train").batches(np.random.default_rng(0)))
+    q = quantize_image_u8(b["image"])
+    assert q.dtype == np.uint8
+    deq = np.asarray(dequantize_image(jnp.asarray(q),
+                                      jnp.asarray(b["width"])))
+    np.testing.assert_array_equal(deq, b["image"])
+    # float passthrough is a no-op
+    same = dequantize_image(jnp.asarray(b["image"]))
+    np.testing.assert_array_equal(np.asarray(same), b["image"])
+    # bool fg mask round trip
+    fg = b["fg_mask"]
+    fgb = fg > 0.5
+    np.testing.assert_array_equal(
+        np.asarray(fg_to_float(jnp.asarray(fgb))), fg)
