@@ -129,6 +129,8 @@ class AutoTrainer:
         self.state = self.init_state(next(it))
         if ckpt.has_latest():
             self.state = ckpt.latest(self.state)
+            log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
+                            int(self.state.step))
         place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (

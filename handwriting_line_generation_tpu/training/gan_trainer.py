@@ -639,6 +639,8 @@ class GanTrainer:
         self.state = self.init_state(first, seed=c.trainer.seed)
         if ckpt.has_latest():
             self.state = ckpt.latest(self.state)
+            log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
+                            int(self.state.step))
             if checkpoint_exists(ckpt.directory, "checkpoint-latest-swa"):
                 self.swa_params = load_checkpoint(
                     ckpt.directory, "checkpoint-latest-swa",

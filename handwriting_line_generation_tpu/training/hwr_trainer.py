@@ -162,6 +162,8 @@ class HWRTrainer:
         self.state = self.init_state(next(forever(train_b, seed=0)))
         if ckpt.has_latest():
             self.state = ckpt.latest(self.state)          # soft resume
+            log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
+                            int(self.state.step))
             print(f"resumed at iteration {int(self.state.step)}")
         place = lambda x: x
         if mesh is not None:

@@ -66,6 +66,22 @@ class TrainLog:
             log.entries = json.load(f)
         return log
 
+    def resume_from(self, path: str, upto_iteration: int) -> None:
+        """Preload a previous incarnation's curve history on (soft) resume
+        so the periodic :meth:`save` keeps the whole run's curves instead
+        of overwriting them with only the entries since the restart.
+        Entries past ``upto_iteration`` (progress the checkpoint rolled
+        back over) are dropped."""
+        if not os.path.exists(path):
+            return
+        try:
+            prev = TrainLog.load(path)
+        except (ValueError, OSError):
+            return
+        self.entries = [e for e in prev.entries
+                        if e.get("iteration", 0) <= upto_iteration] \
+            + self.entries
+
     def export_csv(self, path: str) -> None:
         keys = sorted({k for e in self.entries for k in e})
         with open(path, "w") as f:

@@ -201,3 +201,21 @@ def test_train_log_lazy_device_scalars(tmp_path):
     log.save(str(tmp_path / "log.json"))
     loaded = json.load(open(tmp_path / "log.json"))
     assert loaded[0]["loss"] == entry["loss"]
+
+
+def test_trainlog_resume_preserves_history(tmp_path):
+    """A restarted run preloads earlier curve entries (dropping any past
+    the checkpoint's rollback point) instead of overwriting the file."""
+    from handwriting_line_generation_tpu.utils.train_log import TrainLog
+    p = str(tmp_path / "train_log.json")
+    a = TrainLog()
+    a.record(100, {"x": 1.0})
+    a.record(200, {"x": 2.0})
+    a.record(300, {"x": 3.0})     # progress rolled back by the restart
+    a.save(p)
+    b = TrainLog()
+    b.resume_from(p, upto_iteration=250)
+    b.record(260, {"x": 9.0})
+    b.save(p)
+    c = TrainLog.load(p)
+    assert [e["iteration"] for e in c.entries] == [100, 200, 260]
