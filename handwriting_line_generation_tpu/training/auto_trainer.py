@@ -22,9 +22,10 @@ from flax import struct
 from handwriting_line_generation_tpu.charset import ctc_greedy_decode_batch
 from handwriting_line_generation_tpu.config import Config
 from handwriting_line_generation_tpu.data.datasets import (
-    Prefetcher, forever, get_charset, make_batcher,
+    Prefetcher, forever, get_charset, make_batcher, quantize_image_u8,
 )
 from handwriting_line_generation_tpu.models.autoencoder import Autoencoder
+from handwriting_line_generation_tpu.ops.augment import dequantize_image
 from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
 from handwriting_line_generation_tpu.utils.checkpoint import CheckpointManager
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
@@ -63,8 +64,10 @@ class AutoTrainer:
                          rng=jax.random.PRNGKey(seed + 1))
 
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: AutoState, image, label, label_lengths):
+    def train_step(self, state: AutoState, image, label, label_lengths,
+                   width=None):
         rng, drop_key = jax.random.split(state.rng)
+        image = dequantize_image(image, width)
 
         def loss_fn(params):
             recon, logp = self.model.apply(
@@ -148,10 +151,13 @@ class AutoTrainer:
         try:
             for i in range(start + 1, iterations + 1):
                 batch = next(it)
+                img_host = (quantize_image_u8(batch["image"])
+                            if c.data.u8_transfer else batch["image"])
                 self.state, out = self.train_step(
-                    self.state, place(jnp.asarray(batch["image"])),
+                    self.state, place(jnp.asarray(img_host)),
                     place(jnp.asarray(batch["label"])),
-                    place(jnp.asarray(batch["label_lengths"])))
+                    place(jnp.asarray(batch["label_lengths"])),
+                    place(jnp.asarray(batch["width"])))
                 # device scalars held as-is; floated lazily at record()
                 log.step({k: v for k, v in out.items() if k != "logp"})
                 if i % log_every == 0:

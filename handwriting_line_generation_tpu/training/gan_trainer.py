@@ -56,7 +56,7 @@ from handwriting_line_generation_tpu.charset import (
 )
 from handwriting_line_generation_tpu.config import Config
 from handwriting_line_generation_tpu.data.datasets import (
-    Prefetcher, forever, get_charset, make_batcher,
+    Prefetcher, forever, get_charset, make_batcher, quantize_image_u8,
 )
 from handwriting_line_generation_tpu.data.text_data import TextSampler
 from handwriting_line_generation_tpu.models.autoencoder import build_encoder
@@ -763,22 +763,31 @@ class GanTrainer:
         cer, wer = batch_cer_wer(gt, preds)
         return {"CER": cer, "WER": wer}
 
-    def pseudo_label_unknown(self, batch: Dict) -> Dict:
+    def pseudo_label_unknown(self, batch: Dict, image=None,
+                             width=None) -> Dict:
         """Replace ``$UNKOWN$`` transcriptions with the frozen HWR's greedy
         decode so unlabeled samples still contribute to alignment-dependent
         losses (``hw_with_style_trainer.py:620-656``).  Static-shape twist:
         the reference drops samples whose decode is empty; we keep them with
         length 0, which the width-masked CTC and count losses treat as
-        no-target."""
+        no-target.
+
+        ``image``/``width``: already-placed device arrays (possibly u8) —
+        avoids a second host->device transfer of the batch images."""
         if "$UNKOWN$" not in batch.get("gt", []):
             return batch
         if getattr(self, "_recog_fn", None) is None:
-            self._recog_fn = jax.jit(lambda p, im, fr: mask_frames_to_blank(
-                self.model.apply({"params": p}, im, method="recognize"), fr))
-        image = jnp.asarray(batch["image"])
-        frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
-                          image.shape[2] // 4)
-        logp = self._recog_fn(self.state.params, image, frames)
+            self._recog_fn = jax.jit(
+                lambda p, im, w, fr: mask_frames_to_blank(
+                    self.model.apply({"params": p},
+                                     dequantize_image(im, w),
+                                     method="recognize"), fr))
+        if image is None:
+            image = jnp.asarray(batch["image"])
+        if width is None:
+            width = jnp.asarray(batch["width"])
+        frames = jnp.clip((width + 3) // 4, 1, image.shape[2] // 4)
+        logp = self._recog_fn(self.state.params, image, width, frames)
         preds = ctc_greedy_decode_batch(np.asarray(logp), self.charset)
         label = np.array(batch["label"], copy=True)
         lens = np.array(batch["label_lengths"], copy=True)
@@ -814,25 +823,25 @@ class GanTrainer:
             self.state, out = self.step_gen_nostep(
                 self.state, label, lens, self.gen_spaced_len)
             return out
-        batch = self.pseudo_label_unknown(next(data_iter))
+        batch = next(data_iter)
         img_host = batch["image"]
-        fg_host = batch.get("fg_mask")
         if self.cfg.data.u8_transfer:        # 4x fewer host->device bytes;
             # the jitted steps dequantize (ops.augment.dequantize_image)
-            from handwriting_line_generation_tpu.data.datasets import \
-                quantize_image_u8
             img_host = quantize_image_u8(img_host)
-            if fg_host is not None:
-                fg_host = fg_host > 0.5
         image = place(jnp.asarray(img_host))
+        width = place(jnp.asarray(batch["width"]))
+        # pseudo-labeling reuses the placed device image (single transfer)
+        batch = self.pseudo_label_unknown(batch, image=image, width=width)
         label = place(jnp.asarray(batch["label"]))
         lens = place(jnp.asarray(batch["label_lengths"]))
         a_batch = batch.get("a_batch_size", 1)
-        width = place(jnp.asarray(batch["width"]))
         if "count" in lesson:
             self.state, out = self.step_count(self.state, image, label,
                                               lens, width, a_batch)
         elif "auto" in lesson:
+            fg_host = batch.get("fg_mask")
+            if fg_host is not None and self.cfg.data.u8_transfer:
+                fg_host = fg_host > 0.5
             fg = (place(jnp.asarray(fg_host))
                   if fg_host is not None else None)
             opt_kind = ("gen_only" if "auto-style" in lesson else

@@ -27,10 +27,12 @@ from flax import struct
 from handwriting_line_generation_tpu.charset import ctc_greedy_decode_batch
 from handwriting_line_generation_tpu.config import Config
 from handwriting_line_generation_tpu.data.datasets import (
-    Prefetcher, forever, get_charset, make_batcher,
+    Prefetcher, forever, get_charset, make_batcher, quantize_image_u8,
 )
 from handwriting_line_generation_tpu.models.hwr import build_hwr
-from handwriting_line_generation_tpu.ops.augment import apply_augmentation
+from handwriting_line_generation_tpu.ops.augment import (
+    apply_augmentation, dequantize_image,
+)
 from handwriting_line_generation_tpu.ops.ctc import (ctc_loss_fast,
                                                       mask_frames_to_blank)
 from handwriting_line_generation_tpu.utils.checkpoint import CheckpointManager
@@ -85,8 +87,6 @@ class HWRTrainer:
         rng, aug_key = jax.random.split(state.rng)
 
         def loss_fn(params):
-            from handwriting_line_generation_tpu.ops.augment import \
-                dequantize_image
             img, _, wscale = apply_augmentation(
                 self.augmentation, dequantize_image(image, width), None,
                 aug_key)
@@ -181,11 +181,8 @@ class HWRTrainer:
             start = int(self.state.step)
             for i in range(start + 1, iterations + 1):
                 batch = next(it)
-                img_host = batch["image"]
-                if c.data.u8_transfer:    # 4x fewer host->device bytes
-                    from handwriting_line_generation_tpu.data.datasets \
-                        import quantize_image_u8
-                    img_host = quantize_image_u8(img_host)
+                img_host = (quantize_image_u8(batch["image"])
+                            if c.data.u8_transfer else batch["image"])
                 self.state, out = self.train_step(
                     self.state, place(jnp.asarray(img_host)),
                     place(jnp.asarray(batch["label"])),

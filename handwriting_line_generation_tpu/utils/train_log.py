@@ -55,9 +55,13 @@ class TrainLog:
         return entry
 
     def save(self, path: str) -> None:
+        # atomic replace: an OOM/SIGKILL mid-write (the tunnel-leak failure
+        # mode) must not truncate the curve history resume_from depends on
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.entries, f)
+        os.replace(tmp, path)
 
     @staticmethod
     def load(path: str) -> "TrainLog":
@@ -76,7 +80,11 @@ class TrainLog:
             return
         try:
             prev = TrainLog.load(path)
-        except (ValueError, OSError):
+        except (ValueError, OSError) as e:
+            import logging
+            logging.getLogger(__name__).warning(
+                "train log %s unreadable (%s); starting curve history "
+                "fresh", path, e)
             return
         self.entries = [e for e in prev.entries
                         if e.get("iteration", 0) <= upto_iteration] \

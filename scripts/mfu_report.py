@@ -42,11 +42,20 @@ def main():
     batch = next(it)
     tr.state = tr.init_state(batch)
 
-    image = jnp.asarray(batch["image"])
+    # match the dtypes run_lesson actually ships (u8_transfer default on) so
+    # the warm-up cycle and the timed loop hit the SAME compiled executable
+    if cfg.data.u8_transfer:
+        from handwriting_line_generation_tpu.data.datasets import \
+            quantize_image_u8
+        image = jnp.asarray(quantize_image_u8(batch["image"]))
+        fg = (jnp.asarray(batch["fg_mask"] > 0.5)
+              if "fg_mask" in batch else None)
+    else:
+        image = jnp.asarray(batch["image"])
+        fg = jnp.asarray(batch["fg_mask"]) if "fg_mask" in batch else None
     label = jnp.asarray(batch["label"])
     lens = jnp.asarray(batch["label_lengths"])
     width = jnp.asarray(batch["width"])
-    fg = jnp.asarray(batch["fg_mask"]) if "fg_mask" in batch else None
     a_batch = batch.get("a_batch_size", 1)
 
     report = {"device": str(jax.devices()[0]),

@@ -24,12 +24,20 @@ echo "[pipeline] stage 3: GAN" >> saved/pipeline.log
 # The dev-env TPU tunnel leaks host memory per dispatch (~130GB RSS after
 # ~120k iterations -> OOM kill).  The GAN stage soft-resumes, so retry in a
 # loop: each incarnation continues from checkpoint-latest.
+gan_ok=0
 for attempt in 1 2 3 4 5 6 7 8; do
-  python train.py -c configs/syn_gan_long.json -r >> saved/syn_gan.log 2>&1 \
-    && break
+  if python train.py -c configs/syn_gan_long.json -r \
+      >> saved/syn_gan.log 2>&1; then
+    gan_ok=1
+    break
+  fi
   echo "[pipeline] GAN attempt $attempt died (tunnel leak / OOM); retrying" \
     >> saved/pipeline.log
   sleep 10
 done
+if [ "$gan_ok" != 1 ]; then
+  echo "[pipeline] GAN stage failed after 8 attempts" >> saved/pipeline.log
+  exit 1
+fi
 
 echo "[pipeline] done" >> saved/pipeline.log
