@@ -30,6 +30,8 @@ def main():
         HWWithStyle
 
     # paper-scale generator path (configs/cf_IAMslant_...sMG.json model block)
+    # compute_dtype bfloat16: true MXU-rate convs/matmuls (norm statistics,
+    # spacing math and the tanh output stay float32)
     mc = ModelConfig(
         num_class=80,
         style=StyleConfig(style_dim=128, dim=64, char_dim=128, window=2),
@@ -37,6 +39,7 @@ def main():
         discriminator=DiscriminatorConfig(enabled=False),
         spacer=SpacerConfig(dim=128, count_duplicates=True),
         hwr=HWRConfig(kind="none"),
+        compute_dtype="bfloat16",
     )
     model = HWWithStyle(mc)
 

@@ -126,6 +126,10 @@ class ModelConfig:
     hwr_frozen: bool = True
     pretrained_hwr: Optional[str] = None
     use_hwr_pred_for_style: bool = True
+    # "float32" | "bfloat16": compute dtype for the conv/matmul hot path.
+    # Params, norm statistics, log-softmax/CTC and loss arithmetic stay
+    # float32 (mixed precision); bfloat16 engages the MXU's native rate.
+    compute_dtype: str = "float32"
 
 
 @dataclass

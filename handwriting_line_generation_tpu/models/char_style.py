@@ -31,7 +31,7 @@ styles with ``fill_pred``, ``char_style.py:259-309``) is exposed via
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,24 +54,31 @@ class StyleTrunk(nn.Module):
     norm: str = "group"
     act: str = "relu"
     pad_type: str = "replicate"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         d = self.dim
         x = ConvBlock(d, (5, 5), padding=(2, 2, 2, 2), norm=self.norm,
-                      act=self.act, pad_type=self.pad_type)(x)       # 64
+                      act=self.act, pad_type=self.pad_type,
+                      dtype=self.dtype)(x)                           # 64
         for _ in range(2):
             x = ConvBlock(2 * d, (4, 4), stride=(2, 2),
                           padding=(1, 1, 1, 1), norm=self.norm,
-                          act=self.act, pad_type=self.pad_type)(x)   # H/2, W/2
+                          act=self.act, pad_type=self.pad_type,
+                          dtype=self.dtype)(x)                       # H/2, W/2
             d *= 2
             x = ConvBlock(d, (3, 3), padding=(0, 0, 1, 1), norm=self.norm,
-                          act=self.act, pad_type=self.pad_type)(x)   # H-2
+                          act=self.act, pad_type=self.pad_type,
+                          dtype=self.dtype)(x)                       # H-2
         x = ConvBlock(d, (4, 4), stride=(2, 1), padding=(0, 0, 1, 1),
                       norm=self.norm, act=self.act,
-                      pad_type=self.pad_type)(x)                     # 13 -> 5
+                      pad_type=self.pad_type, dtype=self.dtype)(x)   # 13 -> 5
         x = ConvBlock(d, (4, 4), stride=(2, 1), padding=(0, 0, 1, 1),
-                      norm="none", act="none", pad_type=self.pad_type)(x)  # 1
+                      norm="none", act="none", pad_type=self.pad_type,
+                      dtype=self.dtype)(x)                           # 1
         return x[:, 0, :, :]                                         # [B, T, 4d]
 
 
@@ -81,26 +88,30 @@ class CharExtractor(nn.Module):
     dim: int          # char_dim
     out_dim: int      # char style dim
     small: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):                       # [..., 2w+1, C]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         c_in = x.shape[-1]
         res = x
         h = nn.relu(x)
-        h = nn.Conv(self.dim, (3,), padding="SAME")(h)
-        h = nn.relu(gn(self.dim)(h))
-        h = nn.Conv(c_in, (3,), padding="SAME")(h)
+        h = nn.Conv(self.dim, (3,), padding="SAME", dtype=self.dtype)(h)
+        h = nn.relu(gn(self.dim, self.dtype)(h))
+        h = nn.Conv(c_in, (3,), padding="SAME", dtype=self.dtype)(h)
         h = nn.relu(h + res)
         if self.small:
-            h = nn.Conv(2 * self.dim, (1,))(h)
+            h = nn.Conv(2 * self.dim, (1,), dtype=self.dtype)(h)
         else:
             # large-window variant: halve then VALID conv (char_style.py:104-110)
             h = nn.avg_pool(h, (2,), strides=(2,))
-            h = nn.Conv(2 * self.dim, (3,), padding="VALID")(h)
-        h = nn.relu(gn(2 * self.dim)(h))
+            h = nn.Conv(2 * self.dim, (3,), padding="VALID",
+                        dtype=self.dtype)(h)
+        h = nn.relu(gn(2 * self.dim, self.dtype)(h))
         h = jnp.mean(h, axis=-2)                 # adaptive avg pool
-        h = nn.relu(nn.Dense(2 * self.dim)(h))
-        return nn.Dense(self.out_dim)(h)
+        h = nn.relu(nn.Dense(2 * self.dim, dtype=self.dtype)(h))
+        return nn.Dense(self.out_dim, dtype=self.dtype)(h)
 
 
 class CharStyleEncoder(nn.Module):
@@ -116,6 +127,7 @@ class CharStyleEncoder(nn.Module):
     pad_type: str = "replicate"
     average_found_char_style: float = 1.0
     vae: bool = False
+    dtype: Any = None
 
     @property
     def single_style(self) -> bool:
@@ -135,7 +147,8 @@ class CharStyleEncoder(nn.Module):
         # activations overflow to NaN. -30 is below any real log-softmax.
         recog = jnp.maximum(recog, -30.0)
         x = StyleTrunk(dim=self.dim, norm=self.norm, act=self.act,
-                       pad_type=self.pad_type)(image)        # [B, T, 4d]
+                       pad_type=self.pad_type,
+                       dtype=self.dtype)(image)              # [B, T, 4d]
         T = x.shape[1]
         C4 = x.shape[-1]
         # reconcile lengths (equal by construction; guard for odd widths)
@@ -178,7 +191,8 @@ class CharStyleEncoder(nn.Module):
             CharExtractor, in_axes=1, out_axes=1,
             variable_axes={"params": 0}, split_rngs={"params": True})
         char_styles = VExtract(dim=self.char_dim, out_dim=csd,
-                               small=self.window < 3)(patches)  # [B,ncm1,K,csd]
+                               small=self.window < 3,
+                               dtype=self.dtype)(patches)    # [B,ncm1,K,csd]
 
         wgt = jnp.where(present, top_scores, 0.0)            # [B, ncm1, K]
 
@@ -199,7 +213,8 @@ class CharStyleEncoder(nn.Module):
             VFill = nn.vmap(FillPred, in_axes=1, out_axes=1,
                             variable_axes={"params": 0},
                             split_rngs={"params": True})
-            fills = VFill(num_class=self.num_class, csd=csd)(cls_avg)
+            fills = VFill(num_class=self.num_class, csd=csd,
+                          dtype=self.dtype)(cls_avg)
             # average fill predictions over found classes  [B, nc, csd]
             nf = jnp.maximum(jnp.sum(found, axis=1), 1)[:, None, None]
             fill_avg = jnp.sum(
@@ -216,28 +231,34 @@ class CharStyleEncoder(nn.Module):
             avg_char = jnp.sum(all_char, axis=1) / self.num_class
 
         # ---- global/spacing branch ----
-        xr = jnp.concatenate([nn.relu(x), recog], axis=-1)   # [B, T, 4d+C]
-        h = nn.Conv(C4, (5,), padding="SAME")(xr)
+        xr = jnp.concatenate([nn.relu(x), recog.astype(x.dtype)],
+                             axis=-1)                        # [B, T, 4d+C]
+        h = nn.Conv(C4, (5,), padding="SAME", dtype=self.dtype)(xr)
         h = nn.relu(h)
         h = max_pool(h[:, :, None, :], (2, 1))[:, :, 0, :]   # T/2
-        h = nn.Conv(C4, (3,), padding="SAME")(h)
-        h = nn.relu(gn(C4)(h))
-        h = nn.Conv(C4, (3,), padding="SAME")(h)
+        h = nn.Conv(C4, (3,), padding="SAME", dtype=self.dtype)(h)
+        h = nn.relu(gn(C4, self.dtype)(h))
+        h = nn.Conv(C4, (3,), padding="SAME", dtype=self.dtype)(h)
         h = nn.relu(h)
         pooled = jnp.mean(h, axis=1)                         # [B, 4d]
 
-        comb = jnp.concatenate([pooled, avg_char], axis=-1)
-        comb = nn.relu(nn.Dense(C4)(comb))
+        comb = jnp.concatenate([pooled, avg_char.astype(pooled.dtype)],
+                               axis=-1)
+        comb = nn.relu(nn.Dense(C4, dtype=self.dtype)(comb))
+        # style vectors feed the bank / interpolation math: return float32
         if self.single_style:
             if self.vae:
                 # VAE head: (mu, log_sigma) pairs (char_style.py:303-307)
-                out = nn.Dense(2 * self.style_dim)(comb)
+                out = nn.Dense(2 * self.style_dim,
+                               dtype=self.dtype)(comb).astype(jnp.float32)
                 return out[:, : self.style_dim], out[:, self.style_dim:]
-            return nn.Dense(self.style_dim)(comb)
-        out = nn.Dense(self.style_dim + csd)(comb)
+            return nn.Dense(self.style_dim,
+                            dtype=self.dtype)(comb).astype(jnp.float32)
+        out = nn.Dense(self.style_dim + csd,
+                       dtype=self.dtype)(comb).astype(jnp.float32)
         spacing_style = out[:, :csd]
         g_style = out[:, csd:]
-        return g_style, spacing_style, all_char
+        return g_style, spacing_style, all_char.astype(jnp.float32)
 
 
 class FillPred(nn.Module):
@@ -245,9 +266,10 @@ class FillPred(nn.Module):
     (``char_style.py:186-190``)."""
     num_class: int
     csd: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, s):
-        h = nn.relu(nn.Dense(2 * self.csd)(s))
-        out = nn.Dense(self.csd * self.num_class)(h)
+        h = nn.relu(nn.Dense(2 * self.csd, dtype=self.dtype)(s))
+        out = nn.Dense(self.csd * self.num_class, dtype=self.dtype)(h)
         return out.reshape(s.shape[0], self.num_class, self.csd)

@@ -12,6 +12,8 @@ Batch-major: ``label_onehot [B, L, C]``, ``style [B, S]`` -> ``[B, L, n_out]``.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -21,22 +23,27 @@ from handwriting_line_generation_tpu.models.layers import gn
 class CountCNN(nn.Module):
     hidden: int = 128
     n_out: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, label_onehot, style, deterministic: bool = True):
         B, L, _ = label_onehot.shape
         s = jnp.broadcast_to(style[:, None, :], (B, L, style.shape[-1]))
-        x = jnp.concatenate([label_onehot, s], axis=-1)
+        x = jnp.concatenate([label_onehot, s.astype(label_onehot.dtype)],
+                            axis=-1)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         h = self.hidden
         for f, drop in ((h, 0.1), (h // 2, 0.1), (h // 4, 0.0)):
-            x = nn.Conv(f, (3,), padding="SAME")(x)
-            x = gn(f)(x)
+            x = nn.Conv(f, (3,), padding="SAME", dtype=self.dtype)(x)
+            x = gn(f, self.dtype)(x)
             if drop:
                 x = nn.Dropout(drop, broadcast_dims=(1,),
                                deterministic=deterministic)(x)
             x = nn.relu(x)
-        x = nn.Conv(self.n_out, (1,))(x)
+        # counts feed spacing GT math: predict in float32
+        x = nn.Conv(self.n_out, (1,))(x.astype(jnp.float32))
 
         if self.n_out == 2:
             mean_init = jnp.array([2.0, 0.0])

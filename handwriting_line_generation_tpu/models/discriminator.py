@@ -14,7 +14,7 @@ the trainer averages hinge losses over scales
 
 from __future__ import annotations
 
-from typing import List
+from typing import Any, List
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -38,65 +38,76 @@ class DiscriminatorAP(nn.Module):
     cond: bool = False
     use_global: bool = False
     leak: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  return_features: bool = False, style=None):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         d = self.dim
         lrelu = lambda v: nn.leaky_relu(v, self.leak)
         drop = lambda v, p: nn.Dropout(p, broadcast_dims=(1, 2),
                                        deterministic=deterministic)(v)
+        sn = lambda *a, **kw: SNConv(*a, dtype=self.dtype, **kw)
+        # hinge-loss margins are O(1): scores return float32
+        f32 = lambda v: v.astype(jnp.float32)
 
         # in_conv: 7x7 VALID-height conv, group-norm (no SN on first layer)
-        x = nn.Conv(d, (7, 7), padding=((0, 0), (3, 3)))(x)   # H 64 -> 58
-        x = lrelu(gn(d)(x))
+        x = nn.Conv(d, (7, 7), padding=((0, 0), (3, 3)),
+                    dtype=self.dtype)(x)                      # H 64 -> 58
+        x = lrelu(gn(d, self.dtype)(x))
 
         pv = (1, 1, 1, 1) if self.small else (0, 0, 1, 1)     # t,b,l,r
-        m = SNConv(d, (3, 3), padding=pv)(x)                  # 58 -> 56
+        m = sn(d, (3, 3), padding=pv)(x)                      # 58 -> 56
         m = lrelu(m)
         if not self.small:
             m = avg_pool(m, (2, 2))                           # -> 28
-        m = SNConv(2 * d, (3, 3), padding=pv)(m)              # -> 26
+        m = sn(2 * d, (3, 3), padding=pv)(m)                  # -> 26
         m = lrelu(drop(m, 0.05))
 
-        mL = SNConv(2 * d, (3, 3), padding=(0, 0, 1, 1))(m)   # -> 24
+        mL = sn(2 * d, (3, 3), padding=(0, 0, 1, 1))(m)       # -> 24
         mL = avg_pool(lrelu(mL), (2, 2))                      # -> 12
-        mL = nn.Conv(2 * d, (3, 3), padding=((0, 0), (1, 1)))(mL)  # -> 10
-        mL = avg_pool(lrelu(gn(2 * d)(mL)), (2, 2))           # -> 5
-        mL = SNConv(4 * d, (3, 3), padding=(0, 0, 1, 1))(mL)  # -> 3
+        mL = nn.Conv(2 * d, (3, 3), padding=((0, 0), (1, 1)),
+                     dtype=self.dtype)(mL)                    # -> 10
+        mL = avg_pool(lrelu(gn(2 * d, self.dtype)(mL)), (2, 2))   # -> 5
+        mL = sn(4 * d, (3, 3), padding=(0, 0, 1, 1))(mL)      # -> 3
         mL = lrelu(drop(mL, 0.05))
 
         out: List[jnp.ndarray] = []
         pM = pL = None
         if self.use_med:
-            pM = SNConv(1, (3, 3), padding=(0, 0, 1, 1))(mL)  # H -> 1
-            out.append(pM.reshape(pM.shape[0], -1))
+            pM = sn(1, (3, 3), padding=(0, 0, 1, 1))(mL)      # H -> 1
+            out.append(f32(pM.reshape(pM.shape[0], -1)))
         if self.use_low:
-            y = SNConv(2 * d, (3, 3), padding=(0, 0, 1, 1))(mL)  # H -> 1
+            y = sn(2 * d, (3, 3), padding=(0, 0, 1, 1))(mL)   # H -> 1
             y = lrelu(drop(y, 0.025))
             y = avg_pool(y, (1, 2))
-            y = SNConv(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
+            y = sn(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
             y = lrelu(drop(y, 0.025))
-            y = SNConv(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
+            y = sn(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
             y = lrelu(drop(y, 0.025))
             y = avg_pool(y, (1, 2))
-            y = SNConv(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
+            y = sn(4 * d, (1, 3), padding=(0, 0, 1, 1))(y)
             y = lrelu(drop(y, 0.025))
-            pL = SNConv(1, (1, 1))(y)
-            out.append(pL.reshape(pL.shape[0], -1))
+            pL = sn(1, (1, 1))(y)
+            out.append(f32(pL.reshape(pL.shape[0], -1)))
         if self.use_global or self.cond:
             pooled = jnp.mean(mL, axis=(1, 2))                # [B, 4d]
             if self.use_global:
-                g = lrelu(nn.Dense(4 * d, name="global_fc")(pooled))
-                out.append(nn.Dense(1, name="global_out")(g))
+                g = lrelu(nn.Dense(4 * d, name="global_fc",
+                                   dtype=self.dtype)(pooled))
+                out.append(f32(nn.Dense(1, name="global_out",
+                                        dtype=self.dtype)(g)))
             if self.cond:
                 if style is None:
                     raise ValueError(
                         "cond discriminator needs the conditioning style")
-                proj = nn.Dense(4 * d, use_bias=False,
-                                name="cond_proj")(style)      # [B, 4d]
-                out.append(jnp.sum(pooled * proj, axis=-1,
-                                   keepdims=True))
+                proj = nn.Dense(4 * d, use_bias=False, name="cond_proj",
+                                dtype=self.dtype)(
+                                    style.astype(pooled.dtype))  # [B, 4d]
+                out.append(f32(jnp.sum(pooled * proj, axis=-1,
+                                       keepdims=True)))
         if return_features:
             return mL, pL
         return out

@@ -35,6 +35,7 @@ class StyledConvBlock(nn.Module):
     upsample: bool = False
     only_vertical: bool = False
     fused: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, style):
@@ -43,7 +44,8 @@ class StyledConvBlock(nn.Module):
             # (pure_gen.py:161-163).  lax.conv_transpose pads the dilated
             # input, so the torch-equivalent padding is k-1-p per side.
             x = nn.ConvTranspose(self.features, (4, 3),
-                                 padding=((3, 3), (1, 1)))(x)
+                                 padding=((3, 3), (1, 1)),
+                                 dtype=self.dtype)(x)
         elif self.upsample:
             if self.fused:
                 x = FusedUpsample(self.features,
@@ -51,19 +53,22 @@ class StyledConvBlock(nn.Module):
             else:
                 scale = (2, 1) if self.only_vertical else (2, 2)
                 x = upsample_nearest(x, scale)
-                x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+                x = nn.Conv(self.features, (3, 3), padding="SAME",
+                            dtype=self.dtype)(x)
             x = blur3x3(x)
         else:
-            x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype)(x)
 
         x = NoiseInjection()(x, self.make_rng("noise"))
         x = nn.leaky_relu(x, 0.2)
-        x = AdaIN(self.features)(x, style)
+        x = AdaIN(self.features, dtype=self.dtype)(x, style)
 
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
         x = NoiseInjection()(x, self.make_rng("noise"))
         x = nn.leaky_relu(x, 0.2)
-        x = AdaIN(self.features)(x, style)
+        x = AdaIN(self.features, dtype=self.dtype)(x, style)
         return x
 
 
@@ -72,12 +77,13 @@ class StyleMLP(nn.Module):
     style_dim: int
     n_layers: int = 6
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, style, deterministic: bool = True):
         h = PixelNorm()(style)
         for i in range(self.n_layers):
-            h = nn.Dense(self.style_dim)(h)
+            h = nn.Dense(self.style_dim, dtype=self.dtype)(h)
             if self.dropout > 0 and i < self.n_layers - 1:
                 h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = nn.leaky_relu(h, 0.2)
@@ -93,14 +99,15 @@ class SpacedGenerator(nn.Module):
     append_style: bool = True
     emb_dropout: float = 0.0
     small: bool = False
-    dtype: Any = jnp.float32      # activation dtype; bfloat16 for inference
+    dtype: Any = jnp.float32      # compute dtype; bfloat16 for the MXU path
 
     @nn.compact
     def __call__(self, spaced_onehot, style, deterministic: bool = True):
         style = style.astype(self.dtype)
         spaced_onehot = spaced_onehot.astype(self.dtype)
         style = StyleMLP(self.style_dim, self.n_style_trans,
-                         self.emb_dropout)(style, deterministic)
+                         self.emb_dropout, dtype=self.dtype)(
+                             style, deterministic)
         x = spaced_onehot[:, None, :, :]                     # [B, 1, T, C]
         if self.append_style:
             s = jnp.broadcast_to(style[:, None, None, :],
@@ -108,11 +115,11 @@ class SpacedGenerator(nn.Module):
             x = jnp.concatenate([x, s], axis=-1)
 
         d = self.dim
-        x = StyledConvBlock(d, initial=True)(x, style)                    # H4
-        x = StyledConvBlock(d // 2, upsample=True, only_vertical=True)(x, style)   # H8
-        x = StyledConvBlock(d // 4, upsample=True, only_vertical=True)(x, style)   # H16
-        x = StyledConvBlock(d // 8, upsample=True, fused=True)(x, style)  # H32 W2T
-        x = StyledConvBlock(d // 16, upsample=not self.small,
-                            fused=True)(x, style)                         # H64 W4T
+        blk = lambda *a, **kw: StyledConvBlock(*a, dtype=self.dtype, **kw)
+        x = blk(d, initial=True)(x, style)                                # H4
+        x = blk(d // 2, upsample=True, only_vertical=True)(x, style)      # H8
+        x = blk(d // 4, upsample=True, only_vertical=True)(x, style)      # H16
+        x = blk(d // 8, upsample=True, fused=True)(x, style)              # H32 W2T
+        x = blk(d // 16, upsample=not self.small, fused=True)(x, style)   # H64 W4T
         x = EqualConv(1, kernel=(1, 1))(x)
-        return jnp.tanh(x).astype(jnp.float32)
+        return jnp.tanh(x.astype(jnp.float32))

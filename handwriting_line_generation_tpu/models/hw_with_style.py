@@ -59,8 +59,10 @@ class HWWithStyle(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dt = (jnp.bfloat16 if getattr(c, "compute_dtype", "float32")
+              == "bfloat16" else None)
         self.hwr = build_hwr(c.hwr.kind, c.num_class, c.hwr.norm,
-                             c.hwr.small, c.hwr.pad)
+                             c.hwr.small, c.hwr.pad, dtype=dt)
         if c.style.kind == "char":
             self.style_extractor = CharStyleEncoder(
                 num_class=c.num_class,
@@ -74,6 +76,7 @@ class HWWithStyle(nn.Module):
                 act=c.style.activ,
                 average_found_char_style=c.style.average_found_char_style,
                 vae=c.style.vae,
+                dtype=dt,
             )
         else:
             self.style_extractor = None
@@ -82,7 +85,8 @@ class HWWithStyle(nn.Module):
                 num_class=c.num_class, style_dim=c.style.style_dim,
                 dim=c.generator.dim, n_style_trans=c.generator.n_style_trans,
                 append_style=c.generator.append_style,
-                emb_dropout=c.generator.emb_dropout, small=c.generator.small)
+                emb_dropout=c.generator.emb_dropout, small=c.generator.small,
+                dtype=dt or jnp.float32)
         else:
             self.generator = None
         if c.discriminator.enabled:
@@ -90,13 +94,13 @@ class HWWithStyle(nn.Module):
                 dim=c.discriminator.dim, use_low=c.discriminator.use_low,
                 use_med=c.discriminator.use_med, small=c.discriminator.small,
                 cond=c.discriminator.cond,
-                use_global=c.discriminator.use_global)
+                use_global=c.discriminator.use_global, dtype=dt)
         else:
             self.discriminator = None
         if c.spacer.enabled:
             self.spacer = CountCNN(
                 hidden=c.spacer.dim,
-                n_out=2 if c.spacer.count_duplicates else 1)
+                n_out=2 if c.spacer.count_duplicates else 1, dtype=dt)
         else:
             self.spacer = None
 

@@ -18,7 +18,7 @@ bookkeeping disappears.  Outputs are batch-major ``[B, T, C]`` log-probs.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,15 +35,18 @@ class _ConvTrunk(nn.Module):
     """
     norm: str = "group"
     small: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):                     # [B, H, W, 1]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         widths = (64, 128, 256, 256, 512, 512, 512)
         normed = (False, False, True, False, True, False, True)
         for i, (f, use_norm) in enumerate(zip(widths, normed)):
-            x = nn.Conv(f, (3, 3), padding="SAME")(x)
+            x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(x)
             if use_norm and self.norm != "none":
-                x = gn(f)(x)
+                x = gn(f, self.dtype)(x)
             x = nn.relu(x)
             if i == 0 and not self.small:
                 x = max_pool(x, (2, 2))                       # H/2, W/2
@@ -65,11 +68,13 @@ class CNNOnlyHWR(nn.Module):
     norm: str = "group"
     small: bool = False
     pad: str = "none"      # none | pad | less
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, return_features: bool = False):
         x = _maybe_pad(x, self.pad, self.small)
-        feats = _ConvTrunk(norm=self.norm, small=self.small)(x)
+        feats = _ConvTrunk(norm=self.norm, small=self.small,
+                           dtype=self.dtype)(x)
         b, h, w, c = feats.shape
         # collapse remaining height (2 rows for H=64 input) by mean: the
         # reference ends at H=1 via VALID convs; mean-collapse is the
@@ -77,12 +82,15 @@ class CNNOnlyHWR(nn.Module):
         seq = jnp.mean(feats, axis=1)                          # [B, T, 512]
         skip = seq
         for dil in (2, 4, 1, 8):
-            seq = nn.Conv(512, (3,), kernel_dilation=(dil,), padding="SAME")(seq)
+            seq = nn.Conv(512, (3,), kernel_dilation=(dil,), padding="SAME",
+                          dtype=self.dtype)(seq)
             if self.norm != "none":
-                seq = gn(512)(seq)
+                seq = gn(512, self.dtype)(seq)
             seq = nn.relu(seq)
-        logits = nn.Conv(self.num_class, (3,), padding="SAME")(seq)
-        out = nn.log_softmax(logits, axis=-1)
+        logits = nn.Conv(self.num_class, (3,), padding="SAME",
+                         dtype=self.dtype)(seq)
+        # CTC consumes these log-probs: always normalize in float32
+        out = nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if return_features:
             return out, skip
         return out
@@ -95,19 +103,22 @@ class CRNN(nn.Module):
     norm: str = "group"
     small: bool = False
     pad: str = "none"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = _maybe_pad(x, self.pad, self.small)
-        feats = _ConvTrunk(norm=self.norm, small=self.small)(x)
-        seq = jnp.mean(feats, axis=1)                          # [B, T, 512]
+        feats = _ConvTrunk(norm=self.norm, small=self.small,
+                           dtype=self.dtype)(x)
+        # the scanned LSTM stays float32 (recurrent error compounds)
+        seq = jnp.mean(feats, axis=1).astype(jnp.float32)      # [B, T, 512]
         for _ in range(2):
             fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))(seq)
             bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
                          keep_order=True)(seq)
             seq = nn.Dense(self.hidden)(jnp.concatenate([fwd, bwd], -1))
         logits = nn.Dense(self.num_class)(seq)
-        return nn.log_softmax(logits, axis=-1)
+        return nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
 class SmallCRNN(nn.Module):
@@ -166,12 +177,13 @@ def _maybe_pad(x, pad: str, small: bool):
 
 
 def build_hwr(kind: str, num_class: int, norm: str = "group",
-              small: bool = False, pad: str = "none"):
+              small: bool = False, pad: str = "none", dtype: Any = None):
     if kind == "cnn_only":
         return CNNOnlyHWR(num_class=num_class, norm=norm, small=small,
-                          pad=pad)
+                          pad=pad, dtype=dtype)
     if kind == "crnn":
-        return CRNN(num_class=num_class, norm=norm, small=small, pad=pad)
+        return CRNN(num_class=num_class, norm=norm, small=small, pad=pad,
+                    dtype=dtype)
     if kind == "small_crnn":
         return SmallCRNN(num_class=num_class, norm=norm)
     if kind == "none":

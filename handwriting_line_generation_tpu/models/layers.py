@@ -51,8 +51,11 @@ def group_count(channels: int) -> int:
     return int(best)
 
 
-def gn(channels: int) -> nn.GroupNorm:
-    return nn.GroupNorm(num_groups=group_count(channels))
+def gn(channels: int, dtype: Any = None) -> nn.GroupNorm:
+    # flax GroupNorm computes mean/var in float32 regardless of ``dtype``
+    # (linen.normalization._compute_stats upcasts), so a bfloat16 ``dtype``
+    # only affects the (cheap) scale/shift — safe under mixed precision.
+    return nn.GroupNorm(num_groups=group_count(channels), dtype=dtype)
 
 
 def _pad2d(x: jnp.ndarray, pad: Tuple[int, int, int, int], mode: str) -> jnp.ndarray:
@@ -93,17 +96,19 @@ class ConvBlock(nn.Module):
     act: str = "relu"
     pad_type: str = "zero"
     use_bias: bool = True
+    dtype: Any = None            # compute dtype (None = promote with params)
 
     @nn.compact
     def __call__(self, x):
         x = _pad2d(x, self.padding, self.pad_type)
         x = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    padding="VALID", use_bias=self.use_bias)(x)
+                    padding="VALID", use_bias=self.use_bias,
+                    dtype=self.dtype)(x)
         if self.norm == "group" or self.norm == "batch":
             # batch-norm is deliberately mapped to group-norm: batch stats
             # don't shard cleanly across a data mesh and the reference's own
             # "group" variants exist for exactly this reason
-            x = gn(self.features)(x)
+            x = gn(self.features, self.dtype)(x)
         elif self.norm == "instance":
             x = _instance_norm(x)
         if (a := activation(self.act)) is not None:
@@ -112,10 +117,14 @@ class ConvBlock(nn.Module):
 
 
 def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Per-sample, per-channel normalization over H, W (no affine)."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """Per-sample, per-channel normalization over H, W (no affine).
+
+    Statistics always in float32 — bfloat16 mean/var cancellation would
+    dominate the normalized signal; output keeps the input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +137,9 @@ class PixelNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + 1e-8)
+        xf = x.astype(jnp.float32)
+        return (xf * jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-8)).astype(x.dtype)
 
 
 class EqualDense(nn.Module):
@@ -171,10 +182,11 @@ class AdaIN(nn.Module):
     """Adaptive instance norm: IN then per-channel affine from style
     (``pure_gen.py:52-69``; bias init gamma=1, beta=0)."""
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, style):
-        h = nn.Dense(2 * self.features,
+        h = nn.Dense(2 * self.features, dtype=self.dtype,
                      bias_init=lambda k, s, d=jnp.float32: jnp.concatenate(
                          [jnp.ones(self.features, d), jnp.zeros(self.features, d)])
                      )(style)
@@ -266,6 +278,7 @@ class SNConv(nn.Module):
     stride: Tuple[int, int] = (1, 1)
     padding: Tuple[int, int, int, int] = (0, 0, 0, 0)
     update_stats: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -274,6 +287,8 @@ class SNConv(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (kh, kw, in_f, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
+        # power iteration + sigma stay float32 (params are float32);
+        # only the conv itself runs in the compute dtype
         # torch reshapes (out, in*kh*kw); mirror with out = last axis here
         wm = w.reshape(-1, self.features)                 # [in*kh*kw, out]
         u_var = self.variable(
@@ -288,11 +303,12 @@ class SNConv(nn.Module):
             u_var.value = u_new
         sigma = jnp.einsum("i,io,o->", v, wm, u_new)
         w_sn = w / (sigma + 1e-12)
+        cd = self.dtype or jnp.promote_types(x.dtype, w_sn.dtype)
         y = jax.lax.conv_general_dilated(
-            _pad2d(x, self.padding, "zero"), w_sn,
+            _pad2d(x.astype(cd), self.padding, "zero"), w_sn.astype(cd),
             window_strides=self.stride, padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b
+        return y + b.astype(cd)
 
 
 def _l2normalize(v, eps=1e-12):
@@ -320,14 +336,15 @@ class Conv1DBlock(nn.Module):
     norm: str = "none"
     act: str = "relu"
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Conv(self.features, (self.kernel,), strides=(self.stride,),
                     padding=((self.padding, self.padding),),
-                    kernel_dilation=(self.dilation,))(x)
+                    kernel_dilation=(self.dilation,), dtype=self.dtype)(x)
         if self.norm == "group":
-            x = gn(self.features)(x)
+            x = gn(self.features, self.dtype)(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         if (a := activation(self.act)) is not None:

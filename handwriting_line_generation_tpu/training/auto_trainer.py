@@ -47,9 +47,11 @@ class AutoTrainer:
         c = self.cfg
         self.charset = get_charset(c.data)
         ae = c.autoencoder
+        dt = (jnp.bfloat16 if c.model.compute_dtype == "bfloat16" else None)
         self.model = Autoencoder(
             kind=ae.kind if ae else "2tight",
-            hwr_classes=(ae.hwr_classes if ae else self.charset.num_class))
+            hwr_classes=(ae.hwr_classes if ae else self.charset.num_class),
+            dtype=dt)
         self.tx = optax.adam(c.optimizer.lr, b1=c.optimizer.betas[0],
                              b2=c.optimizer.betas[1])
         self.w_auto = c.trainer.loss_weights.get("auto", 1.0)

@@ -131,7 +131,10 @@ class GanTrainer:
         else:
             self.interp_low, self.interp_high = 0.0, 1.0
         # frozen perceptual encoder (hw_with_style_trainer.py:135-160)
-        self.encoder = build_encoder(c.trainer.encoder_type)
+        self.encoder = build_encoder(
+            c.trainer.encoder_type,
+            dtype=(jnp.bfloat16 if c.model.compute_dtype == "bfloat16"
+                   else None))
         self.encoder_params = None
         self.main_tx = self.disc_tx = None
         self.balance = bool(c.trainer.balance_loss)
@@ -248,7 +251,9 @@ class GanTrainer:
         # keep every operand batch-sharded with zero extra communication
         bo, mo = self.encoder.apply(self.encoder_params, image)
         br, mr = self.encoder.apply(self.encoder_params, recon)
-        return jnp.mean(jnp.abs(bo - br)) + jnp.mean(jnp.abs(mo - mr))
+        f32 = lambda v: v.astype(jnp.float32)
+        return (jnp.mean(jnp.abs(f32(bo) - f32(br)))
+                + jnp.mean(jnp.abs(f32(mo) - f32(mr))))
 
     # ------------------------------------------------------------------
     # lesson steps

@@ -54,9 +54,11 @@ class HWRTrainer:
     def __post_init__(self):
         c = self.cfg
         self.charset = get_charset(c.data)
-        self.model = build_hwr(c.model.hwr.kind, self.charset.num_class,
-                               c.model.hwr.norm, c.model.hwr.small,
-                               c.model.hwr.pad)
+        self.model = build_hwr(
+            c.model.hwr.kind, self.charset.num_class, c.model.hwr.norm,
+            c.model.hwr.small, c.model.hwr.pad,
+            dtype=(jnp.bfloat16 if c.model.compute_dtype == "bfloat16"
+                   else None))
         from handwriting_line_generation_tpu.training.train_state import \
             make_lr_schedule
         lr = make_lr_schedule(c.optimizer.lr_schedule, c.optimizer.lr,

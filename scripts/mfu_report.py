@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--config", default="configs/syn_gan_long.json")
     ap.add_argument("--gen-batch", type=int, default=512)
+    ap.add_argument("--dtype", default=None,
+                    choices=(None, "float32", "bfloat16"),
+                    help="override model.compute_dtype for the measurement")
     args = ap.parse_args()
 
     import jax
@@ -37,6 +40,8 @@ def main():
 
     cfg = load_config(args.config)
     cfg.trainer.save_dir = "/tmp/mfu"
+    if args.dtype:
+        cfg.model.compute_dtype = args.dtype
     tr = GanTrainer(cfg)
     it = forever(make_batcher(cfg.data, "train"), seed=0)
     batch = next(it)
@@ -60,7 +65,8 @@ def main():
 
     report = {"device": str(jax.devices()[0]),
               "batch": int(image.shape[0]),
-              "image_w": int(image.shape[2])}
+              "image_w": int(image.shape[2]),
+              "compute_dtype": cfg.model.compute_dtype}
 
     # FLOPs from XLA cost analysis of the dominant (auto) lesson step
     # bound-jit .lower does not auto-insert self: go through the class attr
