@@ -270,3 +270,34 @@ def test_small_crnn_shapes():
     x2 = jnp.zeros((1, 24, 8, 1))
     out2 = m.apply(params, x2)
     assert out2.shape[1] == 3
+
+
+def test_composite_bfloat16_mixed_precision():
+    """compute_dtype="bfloat16" runs every submodule's hot path in bf16
+    while params stay float32 and user-facing outputs come back float32
+    and finite (mixed-precision contract of ModelConfig.compute_dtype)."""
+    cfg = _tiny_model_cfg()
+    cfg.compute_dtype = "bfloat16"
+    model = HWWithStyle(cfg)
+    B, W = 2, 64
+    image = jax.random.normal(jax.random.PRNGKey(0), (B, 64, W, 1))
+    labels = jnp.array([[1, 2, 3, 0], [4, 5, 0, 0]], jnp.int32)
+    lengths = jnp.array([3, 2], jnp.int32)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(6), "noise": jax.random.PRNGKey(7)},
+        image, labels, lengths, 2, method="autoencode")
+    # mixed precision: every param leaf stays float32
+    assert {str(p.dtype) for p in
+            jax.tree_util.tree_leaves(variables["params"])} == {"float32"}
+    recon, aux = model.apply(
+        variables, image, labels, lengths, 2, method="autoencode",
+        rngs={"noise": jax.random.PRNGKey(8)})
+    assert recon.shape == (B, 64, W, 1)
+    for name, v in (("recon", recon), ("style", aux["style"]),
+                    ("pred", aux["pred"])):
+        assert v.dtype == jnp.float32, name
+        assert bool(jnp.isfinite(v).all()), name
+    # log-softmax stays normalized (computed in f32)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(aux["pred"])).sum(-1), 1.0, rtol=1e-3)
