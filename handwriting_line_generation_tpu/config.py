@@ -407,7 +407,13 @@ def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
     ``-a k1=k2=v`` CLI mechanism with int/float coercion,
     ``new_eval.py:80-105``).  Dots or ``=`` both separate path segments."""
     for ov in overrides or []:
-        *path, value = ov.replace("=", ".").split(".")
+        *segs, value = ov.split("=")
+        if not segs:
+            raise ValueError(f"override '{ov}' has no '=':"
+                             " expected a.b.c=value")
+        # dots separate path segments only left of the final '='; the
+        # value keeps its dots so floats like lr=0.0001 survive
+        path = [p for seg in segs for p in seg.split(".")]
         try:
             value = int(value)
         except ValueError:

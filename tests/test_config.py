@@ -67,3 +67,19 @@ def test_our_configs_load():
         cfg = load_config(path)
         assert isinstance(cfg, Config), path
         assert cfg.trainer.kind in ("gan", "hwr", "auto")
+
+
+def test_apply_overrides_float_and_nested():
+    # regression: float values contain dots and must not be split as path
+    # segments (a live launch with -a optimizer.lr=0.0001 used to raise
+    # "no config field optimizer.lr.0")
+    from handwriting_line_generation_tpu.config import apply_overrides
+    cfg = load_config(GAN_CFG)
+    apply_overrides(cfg, ["optimizer.lr=0.0001",
+                          "trainer.iterations=123",
+                          "model.compute_dtype=bfloat16",
+                          "trainer=val_step=7"])        # reference k1=k2=v
+    assert cfg.optimizer.lr == 0.0001
+    assert cfg.trainer.iterations == 123
+    assert cfg.model.compute_dtype == "bfloat16"
+    assert cfg.trainer.val_step == 7
