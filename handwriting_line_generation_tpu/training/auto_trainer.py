@@ -27,7 +27,8 @@ from handwriting_line_generation_tpu.data.datasets import (
 from handwriting_line_generation_tpu.models.autoencoder import Autoencoder
 from handwriting_line_generation_tpu.ops.augment import dequantize_image
 from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
-from handwriting_line_generation_tpu.utils.checkpoint import CheckpointManager
+from handwriting_line_generation_tpu.utils.checkpoint import (
+    CheckpointManager, CLOBBER_MSG as _CLOBBER_MSG)
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
 
@@ -120,7 +121,7 @@ class AutoTrainer:
     def train(self, iterations: Optional[int] = None,
               log_every: Optional[int] = None,
               val_every: Optional[int] = None, val_batches: int = 5,
-              on_log=None, mesh=None) -> TrainLog:
+              on_log=None, mesh=None, resume: bool = True) -> TrainLog:
         c = self.cfg
         iterations = iterations or c.trainer.iterations
         log_every = log_every or c.trainer.log_step
@@ -133,6 +134,8 @@ class AutoTrainer:
                                  c.trainer.save_step, c.trainer.save_step_minor)
         self.state = self.init_state(next(it))
         if ckpt.has_latest():
+            if not resume:
+                raise RuntimeError(_CLOBBER_MSG.format(d=ckpt.directory))
             self.state = ckpt.latest(self.state)
             log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
                             int(self.state.step))

@@ -79,8 +79,8 @@ from handwriting_line_generation_tpu.training.train_state import (
     create_gan_state, multipliers_at, swa_update, zeros_like_grads,
 )
 from handwriting_line_generation_tpu.utils.checkpoint import (
-    CheckpointManager, checkpoint_exists, extract_subtree, load_checkpoint,
-    load_meta, save_checkpoint,
+    CLOBBER_MSG as _CLOBBER_MSG, CheckpointManager, checkpoint_exists,
+    extract_subtree, load_checkpoint, load_meta, save_checkpoint,
 )
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
@@ -628,7 +628,7 @@ class GanTrainer:
     def train(self, iterations: Optional[int] = None,
               log_every: Optional[int] = None,
               val_every: Optional[int] = None, val_batches: int = 5,
-              on_log=None, mesh=None) -> TrainLog:
+              on_log=None, mesh=None, resume: bool = True) -> TrainLog:
         """Curriculum loop; pass a ``Mesh`` for data-parallel SPMD."""
         c = self.cfg
         iterations = iterations or c.trainer.iterations
@@ -643,6 +643,8 @@ class GanTrainer:
         first = next(it)
         self.state = self.init_state(first, seed=c.trainer.seed)
         if ckpt.has_latest():
+            if not resume:
+                raise RuntimeError(_CLOBBER_MSG.format(d=ckpt.directory))
             self.state = ckpt.latest(self.state)
             log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
                             int(self.state.step))

@@ -35,7 +35,8 @@ from handwriting_line_generation_tpu.ops.augment import (
 )
 from handwriting_line_generation_tpu.ops.ctc import (ctc_loss_fast,
                                                       mask_frames_to_blank)
-from handwriting_line_generation_tpu.utils.checkpoint import CheckpointManager
+from handwriting_line_generation_tpu.utils.checkpoint import (
+    CheckpointManager, CLOBBER_MSG as _CLOBBER_MSG)
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
 
@@ -146,7 +147,7 @@ class HWRTrainer:
               log_every: Optional[int] = None,
               val_every: Optional[int] = None,
               val_batches: Optional[int] = 10,
-              on_log=None, mesh=None) -> TrainLog:
+              on_log=None, mesh=None, resume: bool = True) -> TrainLog:
         """Iteration loop; pass a ``Mesh`` for data-parallel SPMD (state
         replicated, batch sharded over the ``data`` axis)."""
         c = self.cfg
@@ -163,6 +164,8 @@ class HWRTrainer:
 
         self.state = self.init_state(next(forever(train_b, seed=0)))
         if ckpt.has_latest():
+            if not resume:
+                raise RuntimeError(_CLOBBER_MSG.format(d=ckpt.directory))
             self.state = ckpt.latest(self.state)          # soft resume
             log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
                             int(self.state.step))

@@ -27,6 +27,13 @@ import jax
 import numpy as np
 from flax import serialization
 
+# Reference parity: train.py:110-117 refuses to start a FRESH run in a
+# directory that already holds checkpoints (protects a finished run from
+# being clobbered by a name collision); pass -r to resume instead.
+CLOBBER_MSG = ("run directory {d} already contains checkpoints; "
+               "pass -r to resume, or use a new config name "
+               "(reference train.py:110-117)")
+
 
 def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)

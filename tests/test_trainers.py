@@ -485,3 +485,26 @@ def test_quality_degenerate_inputs_raise():
         q.generate_and_read([], np.ones((4, 8)))
     with pytest.raises(ValueError, match="empty style bank"):
         q.generate_and_read(["hello"], np.ones((0, 8)))
+
+
+@pytest.mark.slow
+def test_fresh_run_refuses_existing_checkpoints(tmp_path):
+    """Reference train.py:110-117: without -r a run dir that already holds
+    checkpoints must be refused, not silently resumed or clobbered."""
+    cfg = Config(name="h")
+    cfg.data = DataConfig(dataset="synthetic", batch_size=4,
+                          width_buckets=(192,), label_buckets=(12,),
+                          augmentation=None)
+    cfg.model = ModelConfig(hwr=HWRConfig(kind="cnn_only", norm="group"))
+    cfg.trainer = TrainerConfig(kind="hwr", iterations=2, log_step=1,
+                                val_step=0, save_step=1, save_step_minor=1,
+                                save_dir=str(tmp_path))
+    tr = HWRTrainer(cfg)
+    tr.train()                                     # leaves checkpoint-latest
+    tr2 = HWRTrainer(cfg)
+    with pytest.raises(RuntimeError, match="already contains checkpoints"):
+        tr2.train(resume=False)
+    # resume=True (the -r path) still works
+    tr3 = HWRTrainer(cfg)
+    tr3.train(resume=True)
+    assert int(tr3.state.step) >= 2

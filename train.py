@@ -17,7 +17,9 @@ def main():
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument("-r", "--resume", action="store_true",
                     help="resume from checkpoint-latest if present "
-                         "(soft-resume: starts fresh when absent)")
+                         "(soft-resume: starts fresh when absent); without "
+                         "-r, a run dir that already has checkpoints is "
+                         "refused (reference train.py:110-117)")
     ap.add_argument("-i", "--iterations", type=int, default=None,
                     help="override iteration budget")
     ap.add_argument("--dataset", default=None,
@@ -98,10 +100,10 @@ def main():
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
-            trainer.train(on_log=log, mesh=mesh)
+            trainer.train(on_log=log, mesh=mesh, resume=args.resume)
         print(f"profiler trace written to {args.profile}", flush=True)
     else:
-        trainer.train(on_log=log, mesh=mesh)
+        trainer.train(on_log=log, mesh=mesh, resume=args.resume)
 
 
 if __name__ == "__main__":
