@@ -405,7 +405,8 @@ def load_config(path: str) -> Config:
 def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
     """Apply ``a.b.c=value`` overrides in place (the reference's nested
     ``-a k1=k2=v`` CLI mechanism with int/float coercion,
-    ``new_eval.py:80-105``).  Dots or ``=`` both separate path segments."""
+    ``new_eval.py:80-105``).  Dots or ``=`` separate path segments left of
+    the final ``=``; the value keeps its dots (floats like ``lr=0.0001``)."""
     for ov in overrides or []:
         *segs, value = ov.split("=")
         if not segs:
