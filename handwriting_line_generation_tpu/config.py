@@ -131,6 +131,23 @@ class ModelConfig:
     # float32 (mixed precision); bfloat16 engages the MXU's native rate.
     compute_dtype: str = "float32"
 
+    def jax_compute_dtype(self):
+        """Validated map of ``compute_dtype`` -> jnp dtype (None = float32).
+
+        Single place for the string->dtype mapping used by every trainer and
+        the composite model.  Unknown values raise instead of silently
+        falling back to f32 — a run whose logged config says bf16 but whose
+        MXU ran f32 mislabels every benchmark A/B done with it.
+        """
+        if self.compute_dtype in ("float32", "f32"):
+            return None
+        if self.compute_dtype in ("bfloat16", "bf16"):
+            import jax.numpy as jnp
+            return jnp.bfloat16
+        raise ValueError(
+            "model.compute_dtype must be 'float32' or 'bfloat16', got "
+            f"{self.compute_dtype!r}")
+
 
 @dataclass
 class DataConfig:

@@ -74,6 +74,10 @@ class QualityEvaluator:
             {"params": params}, image, True,
             method=lambda m, x, rf: m.hwr(x, return_features=rf))
         t = skip.shape[1]
+        # pool in f32 even under compute_dtype=bfloat16: FID comparisons in
+        # RESULTS.md are at ~1% granularity, the same order as bf16
+        # feature-quantization noise
+        skip = skip.astype(jnp.float32)
         mask = (jnp.arange(t)[None, :] < frames[:, None])[..., None]
         denom = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
         return jnp.sum(jnp.where(mask, skip, 0.0), axis=1) / denom

@@ -59,8 +59,7 @@ class HWWithStyle(nn.Module):
 
     def setup(self):
         c = self.cfg
-        dt = (jnp.bfloat16 if getattr(c, "compute_dtype", "float32")
-              == "bfloat16" else None)
+        dt = c.jax_compute_dtype()
         self.hwr = build_hwr(c.hwr.kind, c.num_class, c.hwr.norm,
                              c.hwr.small, c.hwr.pad, dtype=dt)
         if c.style.kind == "char":

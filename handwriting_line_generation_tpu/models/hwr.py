@@ -131,6 +131,7 @@ class SmallCRNN(nn.Module):
     hidden: int = 512
     norm: str = "group"
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -143,9 +144,9 @@ class SmallCRNN(nn.Module):
         dropped = (False, False, True, True, True, True, True)
         for i, (f, use_norm, use_drop) in enumerate(
                 zip(widths, normed, dropped)):
-            x = nn.Conv(f, (3, 3), padding="SAME")(x)
+            x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(x)
             if use_norm and self.norm != "none":
-                x = gn(f)(x)
+                x = gn(f, self.dtype)(x)
             if use_drop and self.dropout:
                 x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                                deterministic=deterministic)(x)
@@ -156,7 +157,8 @@ class SmallCRNN(nn.Module):
                 x = max_pool(x, (2, 2))                       # H/4, W/4
             elif i == 5:
                 x = max_pool(x, (2, 2), (2, 1), padding="SAME")  # H/8
-        seq = jnp.mean(x, axis=1)                             # [B, W/4, 512]
+        # the scanned LSTM stays float32 (recurrent error compounds)
+        seq = jnp.mean(x, axis=1).astype(jnp.float32)         # [B, W/4, 512]
         fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden))(seq)
         bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden), reverse=True,
                      keep_order=True)(seq)
@@ -185,7 +187,7 @@ def build_hwr(kind: str, num_class: int, norm: str = "group",
         return CRNN(num_class=num_class, norm=norm, small=small, pad=pad,
                     dtype=dtype)
     if kind == "small_crnn":
-        return SmallCRNN(num_class=num_class, norm=norm)
+        return SmallCRNN(num_class=num_class, norm=norm, dtype=dtype)
     if kind == "none":
         return None
     raise ValueError(f"unknown hwr kind {kind!r}")

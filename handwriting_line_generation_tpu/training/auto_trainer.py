@@ -27,8 +27,8 @@ from handwriting_line_generation_tpu.data.datasets import (
 from handwriting_line_generation_tpu.models.autoencoder import Autoencoder
 from handwriting_line_generation_tpu.ops.augment import dequantize_image
 from handwriting_line_generation_tpu.ops.ctc import ctc_loss_fast
-from handwriting_line_generation_tpu.utils.checkpoint import (
-    CheckpointManager, CLOBBER_MSG as _CLOBBER_MSG)
+from handwriting_line_generation_tpu.utils.checkpoint import \
+    CheckpointManager
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
 
@@ -48,7 +48,7 @@ class AutoTrainer:
         c = self.cfg
         self.charset = get_charset(c.data)
         ae = c.autoencoder
-        dt = (jnp.bfloat16 if c.model.compute_dtype == "bfloat16" else None)
+        dt = c.model.jax_compute_dtype()
         self.model = Autoencoder(
             kind=ae.kind if ae else "2tight",
             hwr_classes=(ae.hwr_classes if ae else self.charset.num_class),
@@ -133,9 +133,8 @@ class AutoTrainer:
         ckpt = CheckpointManager(f"{c.trainer.save_dir}/{c.name}",
                                  c.trainer.save_step, c.trainer.save_step_minor)
         self.state = self.init_state(next(it))
+        ckpt.refuse_clobber(resume)
         if ckpt.has_latest():
-            if not resume:
-                raise RuntimeError(_CLOBBER_MSG.format(d=ckpt.directory))
             self.state = ckpt.latest(self.state)
             log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
                             int(self.state.step))

@@ -79,7 +79,7 @@ from handwriting_line_generation_tpu.training.train_state import (
     create_gan_state, multipliers_at, swa_update, zeros_like_grads,
 )
 from handwriting_line_generation_tpu.utils.checkpoint import (
-    CLOBBER_MSG as _CLOBBER_MSG, CheckpointManager, checkpoint_exists,
+    CheckpointManager, checkpoint_exists,
     extract_subtree, load_checkpoint, load_meta, save_checkpoint,
 )
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
@@ -132,9 +132,7 @@ class GanTrainer:
             self.interp_low, self.interp_high = 0.0, 1.0
         # frozen perceptual encoder (hw_with_style_trainer.py:135-160)
         self.encoder = build_encoder(
-            c.trainer.encoder_type,
-            dtype=(jnp.bfloat16 if c.model.compute_dtype == "bfloat16"
-                   else None))
+            c.trainer.encoder_type, dtype=c.model.jax_compute_dtype())
         self.encoder_params = None
         self.main_tx = self.disc_tx = None
         self.balance = bool(c.trainer.balance_loss)
@@ -642,9 +640,8 @@ class GanTrainer:
                                  c.trainer.save_step, c.trainer.save_step_minor)
         first = next(it)
         self.state = self.init_state(first, seed=c.trainer.seed)
+        ckpt.refuse_clobber(resume)
         if ckpt.has_latest():
-            if not resume:
-                raise RuntimeError(_CLOBBER_MSG.format(d=ckpt.directory))
             self.state = ckpt.latest(self.state)
             log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
                             int(self.state.step))

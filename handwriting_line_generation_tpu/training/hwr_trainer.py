@@ -35,8 +35,8 @@ from handwriting_line_generation_tpu.ops.augment import (
 )
 from handwriting_line_generation_tpu.ops.ctc import (ctc_loss_fast,
                                                       mask_frames_to_blank)
-from handwriting_line_generation_tpu.utils.checkpoint import (
-    CheckpointManager, CLOBBER_MSG as _CLOBBER_MSG)
+from handwriting_line_generation_tpu.utils.checkpoint import \
+    CheckpointManager
 from handwriting_line_generation_tpu.utils.error_rates import batch_cer_wer
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
 
@@ -58,8 +58,7 @@ class HWRTrainer:
         self.model = build_hwr(
             c.model.hwr.kind, self.charset.num_class, c.model.hwr.norm,
             c.model.hwr.small, c.model.hwr.pad,
-            dtype=(jnp.bfloat16 if c.model.compute_dtype == "bfloat16"
-                   else None))
+            dtype=c.model.jax_compute_dtype())
         from handwriting_line_generation_tpu.training.train_state import \
             make_lr_schedule
         lr = make_lr_schedule(c.optimizer.lr_schedule, c.optimizer.lr,
@@ -163,9 +162,8 @@ class HWRTrainer:
                                  c.trainer.save_step_minor)
 
         self.state = self.init_state(next(forever(train_b, seed=0)))
+        ckpt.refuse_clobber(resume)
         if ckpt.has_latest():
-            if not resume:
-                raise RuntimeError(_CLOBBER_MSG.format(d=ckpt.directory))
             self.state = ckpt.latest(self.state)          # soft resume
             log.resume_from(os.path.join(ckpt.directory, "train_log.json"),
                             int(self.state.step))

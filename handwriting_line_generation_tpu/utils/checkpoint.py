@@ -166,6 +166,22 @@ class CheckpointManager:
     def has_latest(self) -> bool:
         return checkpoint_exists(self.directory, "checkpoint-latest")
 
+    def has_checkpoints(self) -> bool:
+        """Any checkpoint artifact in the run directory — numbered
+        ``checkpoint-iterationN``, ``model_best`` or ``checkpoint-latest``
+        (a run with ``save_step_minor=0`` never writes -latest but is just
+        as clobberable)."""
+        import glob
+        return any(
+            glob.glob(os.path.join(self.directory, pat))
+            for pat in ("checkpoint-*.msgpack", "model_best*.msgpack"))
+
+    def refuse_clobber(self, resume: bool) -> None:
+        """Reference ``train.py:110-117``: refuse to start a FRESH run in a
+        directory that already holds checkpoints; ``-r`` resumes instead."""
+        if not resume and self.has_checkpoints():
+            raise RuntimeError(CLOBBER_MSG.format(d=self.directory))
+
 
 def load_raw_checkpoint(directory: str, name: str) -> Any:
     """Template-free restore (nested dict of numpy arrays) — for params-only

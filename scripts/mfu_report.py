@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--config", default="configs/syn_gan_long.json")
     ap.add_argument("--gen-batch", type=int, default=512)
     ap.add_argument("--dtype", default=None,
-                    choices=(None, "float32", "bfloat16"),
+                    choices=("float32", "bfloat16"),
                     help="override model.compute_dtype for the measurement")
     args = ap.parse_args()
 

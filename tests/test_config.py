@@ -83,3 +83,21 @@ def test_apply_overrides_float_and_nested():
     assert cfg.trainer.iterations == 123
     assert cfg.model.compute_dtype == "bfloat16"
     assert cfg.trainer.val_step == 7
+
+
+def test_jax_compute_dtype_validation():
+    """Typos must raise, not silently fall back to f32 (a run whose logged
+    config says bf16 but computed f32 mislabels every A/B done with it)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from handwriting_line_generation_tpu.config import ModelConfig
+    mc = ModelConfig()
+    assert mc.jax_compute_dtype() is None
+    for ok in ("bfloat16", "bf16"):
+        mc.compute_dtype = ok
+        assert mc.jax_compute_dtype() == jnp.bfloat16
+    for bad in ("Bfloat16", "float16", "fp32", ""):
+        mc.compute_dtype = bad
+        with pytest.raises(ValueError, match="compute_dtype"):
+            mc.jax_compute_dtype()

@@ -149,6 +149,29 @@ def test_checkpoint_manager(tmp_path):
     assert m.has_latest()
 
 
+def test_clobber_guard_covers_all_checkpoint_kinds(tmp_path):
+    """refuse_clobber must trip on ANY checkpoint artifact, not just
+    checkpoint-latest: a run with save_step_minor=0 writes only numbered
+    checkpoints and model_best, and was previously silently clobberable."""
+    import pytest as _pytest
+    m = CheckpointManager(str(tmp_path / "a"), save_step=1, save_step_minor=0)
+    tree = {"x": jnp.zeros(2)}
+    m.maybe_save(1, tree, {})                       # numbered only, no -latest
+    assert not m.has_latest() and m.has_checkpoints()
+    with _pytest.raises(RuntimeError, match="already contains checkpoints"):
+        m.refuse_clobber(resume=False)
+    m.refuse_clobber(resume=True)                   # -r passes
+
+    m2 = CheckpointManager(str(tmp_path / "b"), save_step=0, save_step_minor=0)
+    m2.maybe_save(1, tree, {}, monitor_value=1.0)   # model_best only
+    assert m2.has_checkpoints()
+    with _pytest.raises(RuntimeError, match="already contains checkpoints"):
+        m2.refuse_clobber(resume=False)
+
+    m3 = CheckpointManager(str(tmp_path / "c"))     # empty dir: fresh run ok
+    m3.refuse_clobber(resume=False)
+
+
 def test_lr_schedules():
     from handwriting_line_generation_tpu.training.train_state import (
         make_lr_schedule, swa_update)
