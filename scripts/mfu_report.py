@@ -131,6 +131,7 @@ def main():
     if isinstance(gcost, list):
         gcost = gcost[0]
     gflops = float(gcost.get("flops", 0.0))
+    gbytes = float(gcost.get("bytes accessed", 0.0))
     gen_c = jax.jit(gen_fn)
     jax.block_until_ready(gen_c(gparams, labels, lens_g, styles))
     t0 = time.perf_counter()
@@ -144,6 +145,13 @@ def main():
     report["gen_lines_per_sec"] = gb / dt_gen
     report["gen_achieved_tflops"] = gflops / dt_gen / 1e12
     report["gen_mfu"] = gflops / dt_gen / (args.peak_tflops * 1e12)
+    # roofline attribution: arithmetic intensity vs the chip's ridge point
+    # (v5e: ~197 bf16 TFLOP/s / ~0.82 TB/s HBM ~ 240 FLOP/byte); achieved
+    # HBM bandwidth says whether the next lever is traffic or compute
+    if gbytes:
+        report["gen_bytes_accessed_gb"] = gbytes / 1e9
+        report["gen_arith_intensity_flop_per_byte"] = gflops / gbytes
+        report["gen_achieved_hbm_gbps"] = gbytes / dt_gen / 1e9
     print(json.dumps(report, indent=2))
 
 
