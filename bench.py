@@ -85,9 +85,12 @@ def main():
         out, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
         return out
 
-    scanned(params, labels, lens, styles, rng).block_until_ready()  # compile
+    # device_get of the scalar (not block_until_ready): some transports
+    # (the dev-env axon tunnel) resolve ready-state before execution
+    # completes; fetching the value is the only portable completion barrier
+    float(scanned(params, labels, lens, styles, rng))       # compile+warm
     t0 = time.perf_counter()
-    scanned(params, labels, lens, styles, rng).block_until_ready()
+    float(scanned(params, labels, lens, styles, rng))
     dt = time.perf_counter() - t0
 
     lines_per_sec = batch * iters / dt

@@ -29,7 +29,12 @@ from handwriting_line_generation_tpu.models.layers import (
 
 
 class StyledConvBlock(nn.Module):
-    """conv1 -> noise -> lrelu -> AdaIN -> conv2 -> noise -> lrelu -> AdaIN."""
+    """conv1 -> noise -> lrelu -> AdaIN -> conv2 -> noise -> lrelu -> AdaIN.
+
+    ``noise`` (optional pair of ``[B, H_out, W_out, 1]`` arrays) replaces the
+    internally drawn noise — used by tests to compare against the fused
+    Pallas inference path (:mod:`ops.gen_fused`) with identical samples.
+    """
     features: int
     initial: bool = False
     upsample: bool = False
@@ -38,7 +43,7 @@ class StyledConvBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, style):
+    def __call__(self, x, style, noise=None):
         if self.initial:
             # ConvT (4,3), torch padding (0,1): H 1->4, W preserved
             # (pure_gen.py:161-163).  lax.conv_transpose pads the dilated
@@ -60,13 +65,17 @@ class StyledConvBlock(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype)(x)
 
-        x = NoiseInjection()(x, self.make_rng("noise"))
+        x = NoiseInjection()(
+            x, self.make_rng("noise") if noise is None else None,
+            noise=None if noise is None else noise[0])
         x = nn.leaky_relu(x, 0.2)
         x = AdaIN(self.features, dtype=self.dtype)(x, style)
 
         x = nn.Conv(self.features, (3, 3), padding="SAME",
                     dtype=self.dtype)(x)
-        x = NoiseInjection()(x, self.make_rng("noise"))
+        x = NoiseInjection()(
+            x, self.make_rng("noise") if noise is None else None,
+            noise=None if noise is None else noise[1])
         x = nn.leaky_relu(x, 0.2)
         x = AdaIN(self.features, dtype=self.dtype)(x, style)
         return x
@@ -102,7 +111,11 @@ class SpacedGenerator(nn.Module):
     dtype: Any = jnp.float32      # compute dtype; bfloat16 for the MXU path
 
     @nn.compact
-    def __call__(self, spaced_onehot, style, deterministic: bool = True):
+    def __call__(self, spaced_onehot, style, deterministic: bool = True,
+                 noise=None):
+        """``noise``: optional list of 10 ``[B, H, W, 1]`` arrays (2 per
+        block, at each block's output resolution) overriding the internal
+        ``noise`` rng stream — for parity tests against the fused path."""
         style = style.astype(self.dtype)
         spaced_onehot = spaced_onehot.astype(self.dtype)
         style = StyleMLP(self.style_dim, self.n_style_trans,
@@ -115,11 +128,12 @@ class SpacedGenerator(nn.Module):
             x = jnp.concatenate([x, s], axis=-1)
 
         d = self.dim
+        nz = lambda i: None if noise is None else noise[2 * i:2 * i + 2]
         blk = lambda *a, **kw: StyledConvBlock(*a, dtype=self.dtype, **kw)
-        x = blk(d, initial=True)(x, style)                                # H4
-        x = blk(d // 2, upsample=True, only_vertical=True)(x, style)      # H8
-        x = blk(d // 4, upsample=True, only_vertical=True)(x, style)      # H16
-        x = blk(d // 8, upsample=True, fused=True)(x, style)              # H32 W2T
-        x = blk(d // 16, upsample=not self.small, fused=True)(x, style)   # H64 W4T
+        x = blk(d, initial=True)(x, style, nz(0))                         # H4
+        x = blk(d // 2, upsample=True, only_vertical=True)(x, style, nz(1))  # H8
+        x = blk(d // 4, upsample=True, only_vertical=True)(x, style, nz(2))  # H16
+        x = blk(d // 8, upsample=True, fused=True)(x, style, nz(3))       # H32 W2T
+        x = blk(d // 16, upsample=not self.small, fused=True)(x, style, nz(4))  # H64 W4T
         x = EqualConv(1, kernel=(1, 1))(x)
         return jnp.tanh(x.astype(jnp.float32))
