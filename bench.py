@@ -68,7 +68,9 @@ def main():
     styles = jax.random.normal(jax.random.PRNGKey(1),
                                (batch, 128)).astype(jnp.bfloat16)
 
-    img, _ = fn(params, labels, lens, styles, rng, rng)
+    from handwriting_line_generation_tpu.inference.generate import noise_key
+    nkey = noise_key(0)        # TPU hardware RNG for the noise planes
+    img, _ = fn(params, labels, lens, styles, rng, nkey)
     img.block_until_ready()
 
     # one device dispatch for all timed iterations: the dev-env TPU sits
@@ -77,10 +79,11 @@ def main():
     iters = 20
 
     @jax.jit
-    def scanned(params, labels, lens, styles, rng):
+    def scanned(params, labels, lens, styles, rng, nkey):
         def body(acc, i):
             k = jax.random.fold_in(rng, i)
-            im, _ = fn(params, labels, lens, styles, k, k)
+            nk = jax.random.fold_in(nkey, i)
+            im, _ = fn(params, labels, lens, styles, k, nk)
             return acc + jnp.mean(im), None
         out, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
         return out
@@ -88,9 +91,9 @@ def main():
     # device_get of the scalar (not block_until_ready): some transports
     # (the dev-env axon tunnel) resolve ready-state before execution
     # completes; fetching the value is the only portable completion barrier
-    float(scanned(params, labels, lens, styles, rng))       # compile+warm
+    float(scanned(params, labels, lens, styles, rng, nkey))       # compile+warm
     t0 = time.perf_counter()
-    float(scanned(params, labels, lens, styles, rng))
+    float(scanned(params, labels, lens, styles, rng, nkey))
     dt = time.perf_counter() - t0
 
     lines_per_sec = batch * iters / dt

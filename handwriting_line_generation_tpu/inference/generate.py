@@ -28,6 +28,19 @@ from handwriting_line_generation_tpu.models.hw_with_style import HWWithStyle
 from handwriting_line_generation_tpu.ops.spacing import insert_spaces, onehot
 
 
+def noise_key(seed: int = 0):
+    """Inference noise key on the TPU's hardware RNG (``rbg``).
+
+    Threefry keys spend ~2ms/batch generating the 10 noise planes at bench
+    shapes; the XLA RngBitGenerator path costs ~0.8ms.  Sampling quality is
+    irrelevant for GAN noise injection (any i.i.d. normal stream works), and
+    training keeps the default threefry stream for reproducibility."""
+    try:
+        return jax.random.key(seed, impl="rbg")
+    except Exception:                       # backends without rbg support
+        return jax.random.PRNGKey(seed)
+
+
 @dataclasses.dataclass
 class GenerationSession:
     """Compiled-executable cache around (model, params)."""
@@ -95,7 +108,7 @@ class GenerationSession:
         fn = self._gen_fn(spaced_len)
         k = jax.random.PRNGKey(seed)
         img, _ = fn(self.params, label, lens, jnp.asarray(styles),
-                    k, jax.random.fold_in(k, 1))
+                    k, noise_key(seed + 1))
         return np.asarray(img)
 
     # -- modes (generate.py menu) --------------------------------------
