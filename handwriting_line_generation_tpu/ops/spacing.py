@@ -71,13 +71,14 @@ def insert_spaces(labels: jnp.ndarray, label_lengths: jnp.ndarray,
     total = ends[:, -1]
 
     # For each output column t: the char whose block contains t (if any).
+    # Blocks are disjoint intervals [start_i, end_i), so the map is a plain
+    # interval-indicator contraction over L — searchsorted + gathers lower
+    # to slow serial code on TPU while this is one fused [B, T, L]
+    # elementwise+reduce sweep (L is small: label length).
     t_idx = jnp.arange(max_len)
-    # l = index of first end > t  == searchsorted(ends, t, 'right')
-    l = jax.vmap(lambda e: jnp.searchsorted(e, t_idx, side="right"))(ends)
-    l_c = jnp.clip(l, 0, L - 1)
-    in_char = (t_idx[None, :] >= jnp.take_along_axis(starts, l_c, 1)) & \
-              (t_idx[None, :] < jnp.take_along_axis(ends, l_c, 1)) & (l < L)
-    spaced = jnp.where(in_char, jnp.take_along_axis(labels, l_c, 1), 0)
+    hit = (t_idx[None, :, None] >= starts[:, None, :]) & \
+          (t_idx[None, :, None] < ends[:, None, :])          # [B, T, L]
+    spaced = jnp.sum(jnp.where(hit, labels[:, None, :], 0), axis=-1)
     return spaced.astype(jnp.int32), total
 
 
