@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from handwriting_line_generation_tpu.models.layers import (
-    AdaIN, EqualConv, FusedUpsample, NoiseInjection, PixelNorm, blur3x3,
-    upsample_nearest,
+    AdaIN, EqualConv, FusedUpsample, NoiseInjection, PixelNorm,
+    _instance_stats, blur3x3, upsample_nearest,
 )
 
 
@@ -40,6 +40,7 @@ class StyledConvBlock(nn.Module):
     upsample: bool = False
     only_vertical: bool = False
     fused: bool = False
+    defer_final_adain: bool = False   # return (x, gamma, beta) pre-norm
     dtype: Any = None
 
     @nn.compact
@@ -77,8 +78,8 @@ class StyledConvBlock(nn.Module):
             x, self.make_rng("noise") if noise is None else None,
             noise=None if noise is None else noise[1])
         x = nn.leaky_relu(x, 0.2)
-        x = AdaIN(self.features, dtype=self.dtype)(x, style)
-        return x
+        return AdaIN(self.features, dtype=self.dtype)(
+            x, style, normalize=not self.defer_final_adain)
 
 
 class StyleMLP(nn.Module):
@@ -134,6 +135,15 @@ class SpacedGenerator(nn.Module):
         x = blk(d // 2, upsample=True, only_vertical=True)(x, style, nz(1))  # H8
         x = blk(d // 4, upsample=True, only_vertical=True)(x, style, nz(2))  # H16
         x = blk(d // 8, upsample=True, fused=True)(x, style, nz(3))       # H32 W2T
-        x = blk(d // 16, upsample=not self.small, fused=True)(x, style, nz(4))  # H64 W4T
-        x = EqualConv(1, kernel=(1, 1))(x)
+        # final block defers its AdaIN: the per-channel affine folds exactly
+        # into the 1x1 equal-conv (no padding at 1x1), so the normalized
+        # H64 tensor — the largest in the network — is never materialized
+        x, gamma, beta = blk(d // 16, upsample=not self.small, fused=True,
+                             defer_final_adain=True)(x, style, nz(4))     # H64 W4T
+        mean, rstd = _instance_stats(x)
+        mean, rstd = mean[:, 0, 0], rstd[:, 0, 0]                 # [B, C]
+        g32 = gamma.astype(jnp.float32) * rstd
+        x = EqualConv(1, kernel=(1, 1))(
+            x, in_scale=g32,
+            in_shift=beta.astype(jnp.float32) - mean * g32)
         return jnp.tanh(x.astype(jnp.float32))

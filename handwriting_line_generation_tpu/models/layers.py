@@ -128,11 +128,18 @@ def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     sweep — on the generator's H64 activations that is a full HBM pass
     saved per AdaIN.  Post-activation values are O(1) so f32 cancellation
     error is ~1e-7 relative, far below bf16 resolution."""
+    mean, rstd = _instance_stats(x, eps)
+    return ((x.astype(jnp.float32) - mean) * rstd).astype(x.dtype)
+
+
+def _instance_stats(x: jnp.ndarray, eps: float = 1e-5
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-sweep f32 (mean, rstd) over H, W — ``[B, 1, 1, C]`` each."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     mean_sq = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
     var = jnp.maximum(mean_sq - mean * mean, 0.0)
-    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return mean, jax.lax.rsqrt(var + eps)
 
 
 # ---------------------------------------------------------------------------
@@ -165,20 +172,37 @@ class EqualDense(nn.Module):
 
 
 class EqualConv(nn.Module):
-    """NHWC conv with equal-LR runtime scaling (``pure_gen.py:281-291``)."""
+    """NHWC conv with equal-LR runtime scaling (``pure_gen.py:281-291``).
+
+    For 1x1 kernels an optional per-sample channel affine ``(in_scale,
+    in_shift)`` (each ``[B, C_in]``) can be folded into the contraction:
+    ``conv(x * s + t) == contract(x, w*s) + contract(t, w) + b`` exactly
+    (no padding exists at 1x1), so the affine never materializes —
+    one full HBM pass saved on the generator's largest tensor."""
     features: int
     kernel: Tuple[int, int] = (3, 3)
     stride: Tuple[int, int] = (1, 1)
     padding: Any = "SAME"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, in_scale=None, in_shift=None):
         in_f = x.shape[-1]
         kh, kw = self.kernel
         w = self.param("kernel", nn.initializers.normal(1.0),
                        (kh, kw, in_f, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         scale = math.sqrt(2.0 / (in_f * kh * kw))
+        if in_scale is not None:
+            assert (kh, kw) == (1, 1) and self.stride == (1, 1), \
+                "affine folding is only exact for unpadded 1x1 convs"
+            w2d = (w * scale)[0, 0].astype(jnp.float32)       # [C_in, F]
+            # per-sample folded kernel, bf16 so x streams at its own width
+            wk = (in_scale.astype(jnp.float32)[:, :, None]
+                  * w2d[None]).astype(x.dtype)                # [B, C_in, F]
+            y = jnp.einsum("bhwc,bcf->bhwf", x, wk,
+                           preferred_element_type=jnp.float32)
+            bias = in_shift.astype(jnp.float32) @ w2d + b.astype(jnp.float32)
+            return y + bias[:, None, None, :]
         y = jax.lax.conv_general_dilated(
             x, (w * scale).astype(x.dtype), window_strides=self.stride,
             padding=self.padding,
@@ -188,17 +212,24 @@ class EqualConv(nn.Module):
 
 class AdaIN(nn.Module):
     """Adaptive instance norm: IN then per-channel affine from style
-    (``pure_gen.py:52-69``; bias init gamma=1, beta=0)."""
+    (``pure_gen.py:52-69``; bias init gamma=1, beta=0).
+
+    ``normalize=False`` skips the normalization and returns
+    ``(x, gamma, beta)`` instead — callers that can fold the affine into a
+    following linear op (the generator's final 1x1 EqualConv) use this to
+    avoid materializing the normalized tensor."""
     features: int
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, style):
+    def __call__(self, x, style, normalize: bool = True):
         h = nn.Dense(2 * self.features, dtype=self.dtype,
                      bias_init=lambda k, s, d=jnp.float32: jnp.concatenate(
                          [jnp.ones(self.features, d), jnp.zeros(self.features, d)])
                      )(style)
         gamma, beta = h[:, : self.features], h[:, self.features:]
+        if not normalize:
+            return x, gamma, beta
         y = _instance_norm(x)
         return gamma[:, None, None, :] * y + beta[:, None, None, :]
 

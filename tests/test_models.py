@@ -301,3 +301,41 @@ def test_composite_bfloat16_mixed_precision():
     # log-softmax stays normalized (computed in f32)
     np.testing.assert_allclose(
         np.exp(np.asarray(aux["pred"])).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_equalconv_affine_fold_exact():
+    """EqualConv(1x1) with folded (scale, shift) == conv(x*s + t) exactly
+    (no padding at 1x1, so the fold has no border caveat)."""
+    from handwriting_line_generation_tpu.models.layers import EqualConv
+    k = jax.random.PRNGKey(0)
+    B, H, W, C = 3, 8, 16, 16
+    x = jax.random.normal(k, (B, H, W, C))
+    s = jax.random.normal(jax.random.fold_in(k, 1), (B, C))
+    t = jax.random.normal(jax.random.fold_in(k, 2), (B, C))
+    eq = EqualConv(1, kernel=(1, 1))
+    p = eq.init(k, x)
+    seq = eq.apply(p, x * s[:, None, None, :] + t[:, None, None, :])
+    fold = eq.apply(p, x, in_scale=s, in_shift=t)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(fold),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_adain_defer_matches_normalize():
+    """AdaIN(normalize=False) returns (x, gamma, beta) that reproduce the
+    normalized output; the generator tail relies on this decomposition."""
+    from handwriting_line_generation_tpu.models.layers import (
+        AdaIN, _instance_stats)
+    k = jax.random.PRNGKey(0)
+    B, H, W, C = 2, 8, 12, 8
+    x = jax.random.normal(k, (B, H, W, C))
+    style = jax.random.normal(jax.random.fold_in(k, 1), (B, 24))
+    ada = AdaIN(C)
+    p = ada.init(k, x, style)
+    full = ada.apply(p, x, style)
+    x2, g, b = ada.apply(p, x, style, normalize=False)
+    assert (x2 == x).all()
+    mean, rstd = _instance_stats(x)
+    recon = g[:, None, None, :] * ((x - mean) * rstd).astype(x.dtype) \
+        + b[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(full), np.asarray(recon),
+                               rtol=1e-5, atol=1e-5)
