@@ -73,6 +73,9 @@ class GeneratorConfig:
     append_style: bool = True
     emb_dropout: float = 0.0
     small: bool = False
+    fused_epilogue: bool = False    # Pallas one-pass block epilogues: same
+                                    # math/params as the sequential path but
+                                    # no custom VJP — inference only
 
 
 @dataclass

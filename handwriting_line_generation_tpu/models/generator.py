@@ -28,6 +28,19 @@ from handwriting_line_generation_tpu.models.layers import (
 )
 
 
+class _NoiseWeight(nn.Module):
+    """Declares NoiseInjection's ``weight`` param (same name/shape/init)
+    without applying it — the fused epilogue consumes the value directly.
+    Instantiated with ``name='NoiseInjection_k'`` so checkpoints are
+    identical across the sequential and fused paths."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("weight", nn.initializers.constant(0.01),
+                          (1, 1, 1, self.features))
+
+
 class StyledConvBlock(nn.Module):
     """conv1 -> noise -> lrelu -> AdaIN -> conv2 -> noise -> lrelu -> AdaIN.
 
@@ -41,10 +54,32 @@ class StyledConvBlock(nn.Module):
     only_vertical: bool = False
     fused: bool = False
     defer_final_adain: bool = False   # return (x, gamma, beta) pre-norm
+    fused_epilogue: bool = False      # Pallas blur+noise+lrelu+AdaIN pass
     dtype: Any = None
+
+    def _epilogue(self, x, style, nz, apply_blur, ada_name, noi_name):
+        """One-HBM-pass ``[blur] -> noise -> lrelu -> AdaIN`` via
+        :func:`ops.gen_epilogue.block_epilogue` (inference path).
+
+        Declares the same param names as the sequential branch
+        (NoiseInjection_k/weight, AdaIN_k/Dense_0) so checkpoints are
+        interchangeable between the two paths."""
+        from handwriting_line_generation_tpu.ops.gen_epilogue import \
+            block_epilogue
+        nw = _NoiseWeight(self.features, name=noi_name)()
+        _, gamma, beta = AdaIN(self.features, dtype=self.dtype,
+                               name=ada_name)(x, style, normalize=False)
+        if nz is None:
+            n = jax.random.normal(self.make_rng("noise"),
+                                  x.shape[:3], x.dtype)
+        else:
+            n = nz[:, :, :, 0] if nz.ndim == 4 else nz
+        return block_epilogue(x, n, nw[0, 0, 0], gamma, beta,
+                              apply_blur=apply_blur)
 
     @nn.compact
     def __call__(self, x, style, noise=None):
+        blur_in_epilogue = self.fused_epilogue and self.upsample
         if self.initial:
             # ConvT (4,3), torch padding (0,1): H 1->4, W preserved
             # (pure_gen.py:161-163).  lax.conv_transpose pads the dilated
@@ -61,24 +96,35 @@ class StyledConvBlock(nn.Module):
                 x = upsample_nearest(x, scale)
                 x = nn.Conv(self.features, (3, 3), padding="SAME",
                             dtype=self.dtype)(x)
-            x = blur3x3(x)
+            if not blur_in_epilogue:
+                x = blur3x3(x)
         else:
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype)(x)
 
-        x = NoiseInjection()(
-            x, self.make_rng("noise") if noise is None else None,
-            noise=None if noise is None else noise[0])
-        x = nn.leaky_relu(x, 0.2)
-        x = AdaIN(self.features, dtype=self.dtype)(x, style)
+        if self.fused_epilogue:
+            x = self._epilogue(x, style,
+                               None if noise is None else noise[0],
+                               blur_in_epilogue,
+                               "AdaIN_0", "NoiseInjection_0")
+        else:
+            x = NoiseInjection()(
+                x, self.make_rng("noise") if noise is None else None,
+                noise=None if noise is None else noise[0])
+            x = nn.leaky_relu(x, 0.2)
+            x = AdaIN(self.features, dtype=self.dtype)(x, style)
 
         x = nn.Conv(self.features, (3, 3), padding="SAME",
                     dtype=self.dtype)(x)
-        x = NoiseInjection()(
+        if self.fused_epilogue and not self.defer_final_adain:
+            return self._epilogue(x, style,
+                                  None if noise is None else noise[1],
+                                  False, "AdaIN_1", "NoiseInjection_1")
+        x = NoiseInjection(name="NoiseInjection_1")(
             x, self.make_rng("noise") if noise is None else None,
             noise=None if noise is None else noise[1])
         x = nn.leaky_relu(x, 0.2)
-        return AdaIN(self.features, dtype=self.dtype)(
+        return AdaIN(self.features, dtype=self.dtype, name="AdaIN_1")(
             x, style, normalize=not self.defer_final_adain)
 
 
@@ -109,6 +155,7 @@ class SpacedGenerator(nn.Module):
     append_style: bool = True
     emb_dropout: float = 0.0
     small: bool = False
+    fused_epilogue: bool = False  # Pallas one-pass block epilogues (inference)
     dtype: Any = jnp.float32      # compute dtype; bfloat16 for the MXU path
 
     @nn.compact
@@ -130,7 +177,8 @@ class SpacedGenerator(nn.Module):
 
         d = self.dim
         nz = lambda i: None if noise is None else noise[2 * i:2 * i + 2]
-        blk = lambda *a, **kw: StyledConvBlock(*a, dtype=self.dtype, **kw)
+        blk = lambda *a, **kw: StyledConvBlock(
+            *a, dtype=self.dtype, fused_epilogue=self.fused_epilogue, **kw)
         x = blk(d, initial=True)(x, style, nz(0))                         # H4
         x = blk(d // 2, upsample=True, only_vertical=True)(x, style, nz(1))  # H8
         x = blk(d // 4, upsample=True, only_vertical=True)(x, style, nz(2))  # H16

@@ -85,6 +85,7 @@ class HWWithStyle(nn.Module):
                 dim=c.generator.dim, n_style_trans=c.generator.n_style_trans,
                 append_style=c.generator.append_style,
                 emb_dropout=c.generator.emb_dropout, small=c.generator.small,
+                fused_epilogue=c.generator.fused_epilogue,
                 dtype=dt or jnp.float32)
         else:
             self.generator = None

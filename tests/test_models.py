@@ -339,3 +339,29 @@ def test_adain_defer_matches_normalize():
         + b[:, None, None, :]
     np.testing.assert_allclose(np.asarray(full), np.asarray(recon),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_epilogue_matches_sequential():
+    """fused_epilogue (Pallas one-pass blur+noise+lrelu+AdaIN) reproduces
+    the sequential path bit-tightly with identical params and noise, and
+    leaves the param tree unchanged (checkpoints interchangeable)."""
+    B, T, S = 2, 16, 24
+    gen_seq = SpacedGenerator(num_class=20, style_dim=S, dim=32)
+    gen_fus = SpacedGenerator(num_class=20, style_dim=S, dim=32,
+                              fused_epilogue=True)
+    k = jax.random.PRNGKey(0)
+    oh = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, 20), 20)
+    style = jax.random.normal(jax.random.PRNGKey(2), (B, S))
+    params = gen_seq.init({"params": k, "noise": k}, oh, style)
+    p2 = gen_fus.init({"params": k, "noise": k}, oh, style)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+    hs, ws = [4, 8, 16, 32, 64], [T, T, T, 2 * T, 4 * T]
+    noise = [jax.random.normal(jax.random.fold_in(k, 10 * h + j),
+                               (B, h, w, 1))
+             for h, w in zip(hs, ws) for j in range(2)]
+    a = gen_seq.apply(params, oh, style, noise=noise)
+    b = gen_fus.apply(params, oh, style, noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
