@@ -8,8 +8,8 @@ derives count ground truth from the DTW-aligned label with another loop
 (``trainer/hw_with_style_trainer.py:671-714``).  Both are re-designed here as
 static-shape vectorized ops:
 
-* :func:`insert_spaces` — sampled counts → cumulative-sum interval scatter
-  into a fixed ``max_len`` grid (one ``searchsorted`` per output column).
+* :func:`insert_spaces` — sampled counts → cumulative-sum interval bounds →
+  one ``[B, T, L]`` interval-indicator mask-reduce onto the static grid.
 * :func:`counts_from_spaced` — run-length decode of a blank-interleaved
   alignment into ``(blanks_before, duplicates)`` per label position via
   segment sums.
