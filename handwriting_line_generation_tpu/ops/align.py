@@ -50,8 +50,11 @@ def dtw_align(log_probs: jnp.ndarray, labels: jnp.ndarray,
     S = ext.shape[1]
     w = max(T // 2, abs(T - S))
 
-    # cost[b, t, j] = 1 - logp(ext[j] | t)
-    emit = jnp.take_along_axis(log_probs, ext[:, None, :].repeat(T, 1), axis=2)
+    # cost[b, t, j] = 1 - logp(ext[j] | t).  The class pick is a one-hot
+    # contraction rather than take_along_axis: an exact gather (1*x + 0s)
+    # that runs as one MXU matmul instead of a serialized TPU gather.
+    ext_oh = jax.nn.one_hot(ext, C, dtype=log_probs.dtype)       # [B, S, C]
+    emit = jnp.einsum("btc,bsc->bts", log_probs, ext_oh)
     cost = 1.0 - emit                                    # [B, T, S]
 
     j_idx = jnp.arange(1, S + 1)                         # dp column index 1..S
@@ -152,8 +155,9 @@ def viterbi_align(log_probs: jnp.ndarray, labels: jnp.ndarray,
     s_idx = jnp.arange(S)[None, :]
     valid_s = s_idx < (2 * label_lengths[:, None] + 1)
 
-    emit_all = jnp.take_along_axis(
-        log_probs, ext[:, None, :].repeat(T, 1), axis=2)  # [B, T, S]
+    # one-hot contraction == exact gather, on the MXU (see dtw_align)
+    ext_oh = jax.nn.one_hot(ext, C, dtype=log_probs.dtype)
+    emit_all = jnp.einsum("btc,bsc->bts", log_probs, ext_oh)     # [B, T, S]
 
     alpha0 = jnp.where(s_idx < 2, emit_all[:, 0, :], -BIG)
     alpha0 = jnp.where(valid_s, alpha0, -BIG)
