@@ -196,11 +196,14 @@ class EqualConv(nn.Module):
             assert (kh, kw) == (1, 1) and self.stride == (1, 1), \
                 "affine folding is only exact for unpadded 1x1 convs"
             w2d = (w * scale)[0, 0].astype(jnp.float32)       # [C_in, F]
-            # per-sample folded kernel, bf16 so x streams at its own width
+            # per-sample folded kernel, bf16 so x streams at its own width.
+            # Broadcast-multiply + reduce (not einsum): a batched dot with
+            # per-sample weights can lower to B tiny matmuls; this form is
+            # one fused elementwise+reduce sweep over x.
             wk = (in_scale.astype(jnp.float32)[:, :, None]
                   * w2d[None]).astype(x.dtype)                # [B, C_in, F]
-            y = jnp.einsum("bhwc,bcf->bhwf", x, wk,
-                           preferred_element_type=jnp.float32)
+            y = jnp.sum(x[..., :, None].astype(jnp.float32)
+                        * wk[:, None, None, :, :], axis=-2)   # [B, H, W, F]
             bias = in_shift.astype(jnp.float32) @ w2d + b.astype(jnp.float32)
             return y + bias[:, None, None, :]
         y = jax.lax.conv_general_dilated(
