@@ -31,6 +31,14 @@ timeout 1800 python evaluate.py -c configs/syn_gan_long.json \
     --n-gen 200 --texts saved/syn_text.txt \
     | tee /tmp/r2/quality_latest.json
 
+echo "== quality (RIMES model_best) =="
+if [ -d saved/syn_rimes_gan ]; then
+  timeout 1800 python evaluate.py -c configs/syn_rimes_gan.json \
+      -k saved/syn_rimes_gan --ckpt-name model_best --quality \
+      --n-gen 200 --texts saved/syn_rimes_text.txt \
+      | tee /tmp/r2/quality_rimes.json
+fi
+
 echo "== curves =="
 python - <<'EOF'
 import json
