@@ -36,7 +36,12 @@ def noise_key(seed: int = 0):
     irrelevant for GAN noise injection (any i.i.d. normal stream works), and
     training keeps the default threefry stream for reproducibility."""
     try:
-        return jax.random.key(seed, impl="rbg")
+        k = jax.random.key(seed, impl="rbg")
+        # key construction never fails — probe an actual draw eagerly so
+        # backends without an RngBitGenerator lowering fall back here
+        # instead of crashing later inside the jitted generator
+        jax.random.normal(k, ()).block_until_ready()
+        return k
     except Exception:                       # backends without rbg support
         return jax.random.PRNGKey(seed)
 

@@ -46,7 +46,7 @@ class StyledConvBlock(nn.Module):
 
     ``noise`` (optional pair of ``[B, H_out, W_out, 1]`` arrays) replaces the
     internally drawn noise — used by tests to compare against the fused
-    Pallas inference path (:mod:`ops.gen_fused`) with identical samples.
+    Pallas inference path (:mod:`ops.gen_epilogue`) with identical samples.
     """
     features: int
     initial: bool = False

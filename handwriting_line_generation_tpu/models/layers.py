@@ -193,8 +193,14 @@ class EqualConv(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         scale = math.sqrt(2.0 / (in_f * kh * kw))
         if in_scale is not None:
-            assert (kh, kw) == (1, 1) and self.stride == (1, 1), \
-                "affine folding is only exact for unpadded 1x1 convs"
+            if (kh, kw) != (1, 1) or self.stride != (1, 1):
+                raise ValueError(
+                    "EqualConv affine folding is only exact for unpadded "
+                    f"1x1 stride-1 convs, got kernel {(kh, kw)} stride "
+                    f"{self.stride}")
+            if in_shift is None:
+                raise ValueError("in_scale requires in_shift (pass zeros "
+                                 "for a pure scale)")
             w2d = (w * scale)[0, 0].astype(jnp.float32)       # [C_in, F]
             # per-sample folded kernel, bf16 so x streams at its own width.
             # Broadcast-multiply + reduce (not einsum): a batched dot with

@@ -178,9 +178,24 @@ class CheckpointManager:
 
     def refuse_clobber(self, resume: bool) -> None:
         """Reference ``train.py:110-117``: refuse to start a FRESH run in a
-        directory that already holds checkpoints; ``-r`` resumes instead."""
+        directory that already holds checkpoints; ``-r`` resumes instead.
+
+        A ``-r`` in a directory that has checkpoints but no
+        ``checkpoint-latest`` (e.g. ``save_step_minor=0`` runs, which only
+        write numbered checkpoints) also refuses: the trainer would
+        otherwise silently reinitialize at step 0 and overwrite the
+        numbered artifacts it could not resume from."""
         if not resume and self.has_checkpoints():
             raise RuntimeError(CLOBBER_MSG.format(d=self.directory))
+        if resume and self.has_checkpoints() and not self.has_latest():
+            import glob
+            found = sorted(os.path.basename(p) for p in glob.glob(
+                os.path.join(self.directory, "*.msgpack")))
+            raise RuntimeError(
+                f"-r requested but {self.directory} has no checkpoint-latest "
+                f"to resume from (found: {', '.join(found)}). Restarting "
+                "fresh would overwrite these; move them away or point the "
+                "run at a new save_dir.")
 
 
 def load_raw_checkpoint(directory: str, name: str) -> Any:

@@ -17,15 +17,33 @@ import time
 sys.path.insert(0, ".")
 
 
-def timed(fn, *args, iters=12):
+def scan_ms(fn, iters=20, warm=4, key=None):
+    """Per-iteration milliseconds via the scan-delta method.
+
+    ``fn(key) -> array``.  The dev-env relay executes lazily and drops
+    dispatches whose outputs are never consumed, so repeat-and-block-once
+    loops only run their final iteration; a dependency-chained scan timed
+    at two iteration counts (value-fetched) is the reliable barrier.
+    """
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    import jax.numpy as jnp
+
+    def run_n(n):
+        @jax.jit
+        def run(key):
+            def body(c, i):
+                k = jax.random.fold_in(key, i)
+                out = fn(k)
+                return c + jnp.float32(jnp.mean(out)), None
+            r, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return r
+        k0 = key if key is not None else jax.random.PRNGKey(0)
+        float(run(k0))                        # compile + warm
+        t0 = time.perf_counter()
+        float(run(k0))
+        return time.perf_counter() - t0
+
+    return 1e3 * (run_n(iters) - run_n(warm)) / (iters - warm)
 
 
 def main():
@@ -78,8 +96,8 @@ def main():
     # 1. full headline path (spacer -> insert_spaces -> generator)
     session = GenerationSession(model, params, IAM_CHARSET)
     full = session._gen_fn(spaced_len)
-    report["full_ms"] = 1e3 * timed(
-        lambda: full(params, labels, lens, styles, rng, rng),
+    report["full_ms"] = scan_ms(
+        lambda k: full(params, labels, lens, styles, k, k)[0],
         iters=args.iters)
 
     # 2. generator alone on a precomputed spaced input
@@ -92,14 +110,15 @@ def main():
 
     gen_only = jax.jit(lambda p, sp, st, k: model.apply(
         {"params": p}, sp, st, method="generate_spaced", rngs={"noise": k}))
-    report["generator_ms"] = 1e3 * timed(
-        lambda: gen_only(params, spaced, styles, rng), iters=args.iters)
+    report["generator_ms"] = scan_ms(
+        lambda k: gen_only(params, spaced, styles, k), iters=args.iters)
     report["spacer_scatter_ms"] = report["full_ms"] - report["generator_ms"]
 
     # 3. RNG cost: same generator with the hardware rbg PRNG for noise
     rbg_key = jax.random.key(0, impl="rbg")
-    report["generator_rbg_noise_ms"] = 1e3 * timed(
-        lambda: gen_only(params, spaced, styles, rbg_key), iters=args.iters)
+    report["generator_rbg_noise_ms"] = scan_ms(
+        lambda k: gen_only(params, spaced, styles, k), iters=args.iters,
+        key=rbg_key)
 
     # 4. raw threefry normal at the largest injected shapes, for scale
     noise_shapes = [(B, 4, 192), (B, 8, 192), (B, 16, 192),
@@ -114,10 +133,9 @@ def main():
                     jax.random.fold_in(k, 2 * i + j), s + (1,), jnp.bfloat16))
         return acc
 
-    report["noise_draws_threefry_ms"] = 1e3 * timed(
-        lambda: draw_all(rng), iters=args.iters)
-    report["noise_draws_rbg_ms"] = 1e3 * timed(
-        lambda: draw_all(rbg_key), iters=args.iters)
+    report["noise_draws_threefry_ms"] = scan_ms(draw_all, iters=args.iters)
+    report["noise_draws_rbg_ms"] = scan_ms(draw_all, iters=args.iters,
+                                           key=rbg_key)
 
     print(json.dumps(report, indent=2))
 

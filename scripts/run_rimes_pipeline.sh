@@ -14,18 +14,28 @@ if [ ! -f saved/syn_rimes_text.txt ]; then
 fi
 
 echo "[rimes] stage 1: HWR pretrain" >> saved/pipeline.log
+ok=0
 for a in 1 2 3; do
-  python train.py -c configs/syn_rimes_hwr.json -r \
-    >> saved/syn_rimes_hwr.log 2>&1 && break
+  if python train.py -c configs/syn_rimes_hwr.json -r \
+      >> saved/syn_rimes_hwr.log 2>&1; then ok=1; break; fi
   echo "[rimes] hwr attempt $a died; retrying" >> saved/pipeline.log
 done
+if [ "$ok" != 1 ]; then
+  echo "[rimes] HWR failed after 3 attempts" >> saved/pipeline.log
+  exit 1
+fi
 
 echo "[rimes] stage 2: autoencoder pretrain" >> saved/pipeline.log
+ok=0
 for a in 1 2 3; do
-  python train.py -c configs/syn_rimes_auto.json -r \
-    >> saved/syn_rimes_auto.log 2>&1 && break
+  if python train.py -c configs/syn_rimes_auto.json -r \
+      >> saved/syn_rimes_auto.log 2>&1; then ok=1; break; fi
   echo "[rimes] auto attempt $a died; retrying" >> saved/pipeline.log
 done
+if [ "$ok" != 1 ]; then
+  echo "[rimes] auto failed after 3 attempts" >> saved/pipeline.log
+  exit 1
+fi
 
 echo "[rimes] stage 3: GAN" >> saved/pipeline.log
 ok=0

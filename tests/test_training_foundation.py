@@ -160,7 +160,11 @@ def test_clobber_guard_covers_all_checkpoint_kinds(tmp_path):
     assert not m.has_latest() and m.has_checkpoints()
     with _pytest.raises(RuntimeError, match="already contains checkpoints"):
         m.refuse_clobber(resume=False)
-    m.refuse_clobber(resume=True)                   # -r passes
+    # -r with checkpoints but nothing to resume from must ALSO refuse:
+    # the trainer would reinitialize at step 0 and overwrite the numbered
+    # artifacts it could not load
+    with _pytest.raises(RuntimeError, match="no checkpoint-latest"):
+        m.refuse_clobber(resume=True)
 
     m2 = CheckpointManager(str(tmp_path / "b"), save_step=0, save_step_minor=0)
     m2.maybe_save(1, tree, {}, monitor_value=1.0)   # model_best only

@@ -58,6 +58,11 @@ def main():
                                                     load_config)
     cfg = load_config(args.config)
     apply_overrides(cfg, args.override)
+    if cfg.model.generator.fused_epilogue:
+        raise ValueError(
+            "model.generator.fused_epilogue is inference-only (the Pallas "
+            "epilogue has no VJP) — unset it for training; inference CLIs "
+            "may enable it on their own model builds")
     if args.dataset:
         cfg.data.dataset = args.dataset
     if args.save_dir:
