@@ -132,13 +132,27 @@ def main():
         gcost = gcost[0]
     gflops = float(gcost.get("flops", 0.0))
     gbytes = float(gcost.get("bytes accessed", 0.0))
-    gen_c = jax.jit(gen_fn)
-    jax.block_until_ready(gen_c(gparams, labels, lens_g, styles))
-    t0 = time.perf_counter()
-    for _ in range(max(args.iters // 3, 3)):
-        out = gen_c(gparams, labels, lens_g, styles)
-    jax.block_until_ready(out)
-    dt_gen = (time.perf_counter() - t0) / max(args.iters // 3, 3)
+    # scan-delta timing: the dev relay executes lazily and drops repeat
+    # dispatches whose outputs are unconsumed, so a repeat-and-block-once
+    # loop times only its final iteration; a dependency-chained scan at
+    # two iteration counts is the reliable barrier (see bench.py)
+    def scanned_s(n):
+        @jax.jit
+        def run(p, lb, ln, st):
+            def body(c, i):
+                k = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                img, _ = tr.model.apply(
+                    {"params": p}, lb, ln, st, k, spaced_len=spaced,
+                    method="generate", rngs={"noise": k})
+                return c + jnp.float32(jnp.mean(img)), None
+            r, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return r
+        float(run(gparams, labels, lens_g, styles))        # compile+warm
+        t0 = time.perf_counter()
+        float(run(gparams, labels, lens_g, styles))
+        return time.perf_counter() - t0
+    n1, n2 = 3, max(args.iters // 2, 9)
+    dt_gen = (scanned_s(n2) - scanned_s(n1)) / (n2 - n1)
     report["gen_batch"] = gb
     report["gen_step_gflops"] = gflops / 1e9
     report["gen_sec_per_batch"] = dt_gen
