@@ -119,3 +119,24 @@ def test_counts_roundtrip_with_insert():
     gt, n = counts_from_spaced(spaced, 3)
     assert int(n[0]) == 3
     np.testing.assert_array_equal(np.asarray(gt)[0], np.asarray(counts)[0])
+
+
+def test_insert_spaces_randomized_with_overflow():
+    """Randomized oracle sweep incl. lines that overflow max_len (the
+    interval mask-reduce must cut exactly at the static grid edge)."""
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        B, L = 4, 12
+        T = 20 if seed % 2 else 64            # tight grid forces overflow
+        labels = rng.integers(1, 30, size=(B, L)).astype(np.int32)
+        lengths = rng.integers(0, L + 1, size=(B,)).astype(np.int32)
+        counts = np.stack(
+            [rng.integers(0, 5, (B, L)).astype(np.float32),
+             rng.integers(0, 4, (B, L)).astype(np.float32)], -1)
+        spaced, total = insert_spaces(
+            jnp.asarray(labels), jnp.asarray(lengths), jnp.asarray(counts),
+            jax.random.PRNGKey(seed), max_len=T, count_std=0.0, dup_std=0.0)
+        ref, ref_total = _oracle_insert(labels, lengths,
+                                        counts[..., 0], counts[..., 1], T)
+        np.testing.assert_array_equal(np.asarray(spaced), ref)
+        np.testing.assert_array_equal(np.asarray(total), ref_total)
