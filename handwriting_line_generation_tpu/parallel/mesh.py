@@ -115,10 +115,26 @@ def init_distributed() -> int:
     # backend, after which jax.distributed.initialize() refuses to run
     # ("must be called before any JAX calls").  Initialize eagerly and
     # treat "already initialized" as success.
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
-            "JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if addr:
+        # jax's env autodetection only covers managed clusters (SLURM,
+        # TPU metadata); plain COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+        # env (the documented manual bring-up) must be passed explicitly
+        def _env_int(*names):
+            for n in names:
+                if os.environ.get(n):
+                    return int(os.environ[n])
+            return None
+        nproc = _env_int("NUM_PROCESSES", "JAX_NUM_PROCESSES")
+        pid = _env_int("PROCESS_ID", "JAX_PROCESS_ID")
         try:
-            jax.distributed.initialize()
+            if nproc is not None and pid is not None:
+                jax.distributed.initialize(coordinator_address=addr,
+                                           num_processes=nproc,
+                                           process_id=pid)
+            else:
+                jax.distributed.initialize()
         except RuntimeError as e:
             if "already" not in str(e).lower():
                 raise

@@ -733,6 +733,7 @@ class GanTrainer:
             # persist curves for graph.py (the reference embeds its logger
             # in every checkpoint, base_trainer.py:348-372)
             log.save(os.path.join(ckpt.directory, "train_log.json"))
+            _end_of_train_sync()
         return log
 
     # -- SWA ------------------------------------------------------------
@@ -1024,3 +1025,14 @@ def optax_global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)
 
 
+
+
+def _end_of_train_sync():
+    """Under multi-host SPMD, hold every process until process 0 finishes
+    its end-of-run file writes — otherwise fast processes hit the jax
+    shutdown barrier while the writer is still flushing and the
+    coordination service kills the job (DEADLINE_EXCEEDED at Shutdown)."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("end_of_train")

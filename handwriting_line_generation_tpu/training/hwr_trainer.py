@@ -193,8 +193,13 @@ class HWRTrainer:
                     place(jnp.asarray(batch["width"])))
                 metrics = {"loss": out["loss"]}
                 if i % log_every == 0:
-                    preds = ctc_greedy_decode_batch(np.asarray(out["logp"]),
-                                                    self.charset)
+                    # mesh-jitted outputs are globally sharded under
+                    # multi-host SPMD: gather, then keep the rows paired
+                    # with this process's host-side ground truth
+                    from handwriting_line_generation_tpu.parallel.mesh \
+                        import fetch, local_rows
+                    preds = ctc_greedy_decode_batch(
+                        local_rows(fetch(out["logp"])), self.charset)
                     cer, wer = batch_cer_wer(batch["gt"], preds,
                                              c.trainer.casesensitive)
                     metrics.update(CER=cer, WER=wer)
@@ -227,4 +232,16 @@ class HWRTrainer:
             # persist curves for graph.py (the reference embeds its logger
             # in every checkpoint, base_trainer.py:348-372)
             log.save(os.path.join(ckpt.directory, "train_log.json"))
+            _end_of_train_sync()
         return log
+
+
+def _end_of_train_sync():
+    """Under multi-host SPMD, hold every process until process 0 finishes
+    its end-of-run file writes — otherwise fast processes hit the jax
+    shutdown barrier while the writer is still flushing and the
+    coordination service kills the job (DEADLINE_EXCEEDED at Shutdown)."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("end_of_train")

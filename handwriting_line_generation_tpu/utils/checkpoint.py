@@ -39,8 +39,20 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _is_writer_process() -> bool:
+    """Single-writer rule under multi-host SPMD: only process 0 touches the
+    (shared) run directory.  State is replicated, so process 0's copy is
+    the global one; concurrent same-file writes from every host would race
+    the atomic-replace dance and double-write model_best."""
+    import jax
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
 def save_checkpoint(directory: str, name: str, pytree: Any,
                     meta: Optional[Dict] = None) -> str:
+    path = os.path.join(directory, name + ".msgpack")
+    if not _is_writer_process():
+        return path
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, name + ".msgpack")
     tmp = path + ".tmp"

@@ -55,6 +55,11 @@ class TrainLog:
         return entry
 
     def save(self, path: str) -> None:
+        # single-writer under multi-host SPMD (see checkpoint._is_writer_process)
+        from handwriting_line_generation_tpu.utils.checkpoint import \
+            _is_writer_process
+        if not _is_writer_process():
+            return
         # atomic replace: an OOM/SIGKILL mid-write (the tunnel-leak failure
         # mode) must not truncate the curve history resume_from depends on
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
