@@ -76,6 +76,9 @@ class GeneratorConfig:
     fused_epilogue: bool = False    # Pallas one-pass block epilogues: same
                                     # math/params as the sequential path but
                                     # no custom VJP — inference only
+    phase_upsample: bool = False    # dense phase-decomposed upsample convs
+                                    # (exact; differentiable; pending on-chip
+                                    # A/B before becoming the default)
 
 
 @dataclass

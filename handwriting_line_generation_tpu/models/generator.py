@@ -28,6 +28,44 @@ from handwriting_line_generation_tpu.models.layers import (
 )
 
 
+class _PhaseUpConv(nn.Module):
+    """Vertical nearest-x2 upsample + 3x3 SAME conv, phase-decomposed.
+
+    ``conv3x3(repeat_rows(x, 2))`` reads each input row twice; per output
+    phase the three H taps collapse onto a 2-row window of the *source*:
+    ``y[2a]   = w0 x[a-1] + (w1+w2) x[a]``,
+    ``y[2a+1] = (w0+w1) x[a] + w2 x[a+1]`` (zero pads coincide).  One dense
+    ``[2,3,Cin,2C]`` VALID conv on the 1-padded source computes both
+    phases — 2/3 of the FLOPs and no materialized upsampled tensor.
+
+    Param-compatible with the sequential branch's ``nn.Conv`` (same
+    ``kernel``/``bias`` shapes and init; instantiated as ``Conv_0``)."""
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, Cin = x.shape
+        C = self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, Cin, C))
+        b = self.param("bias", nn.initializers.zeros, (C,))
+        cd = self.dtype or x.dtype
+        wf = w.astype(jnp.float32)
+        k_even = jnp.stack([wf[0], wf[1] + wf[2]], axis=0)   # [2,3,Cin,C]
+        k_odd = jnp.stack([wf[0] + wf[1], wf[2]], axis=0)
+        wk = jnp.stack([k_even, k_odd], axis=3)              # [2,3,Cin,2?,C]
+        wk = wk.reshape(2, 3, Cin, 2 * C).astype(cd)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(cd)
+        full = jax.lax.conv_general_dilated(
+            xp, wk, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))      # [B,H+1,W,2C]
+        even = full[:, 0:H, :, :C]
+        odd = full[:, 1:H + 1, :, C:]
+        y = jnp.stack([even, odd], axis=2).reshape(B, 2 * H, W, C)
+        return y + b.astype(cd)
+
+
 class _NoiseWeight(nn.Module):
     """Declares NoiseInjection's ``weight`` param (same name/shape/init)
     without applying it — the fused epilogue consumes the value directly.
@@ -55,6 +93,7 @@ class StyledConvBlock(nn.Module):
     fused: bool = False
     defer_final_adain: bool = False   # return (x, gamma, beta) pre-norm
     fused_epilogue: bool = False      # Pallas blur+noise+lrelu+AdaIN pass
+    phase_upsample: bool = False      # dense phase-decomposed upsample convs
     dtype: Any = None
 
     def _epilogue(self, x, style, nz, apply_blur, ada_name, noi_name):
@@ -90,12 +129,17 @@ class StyledConvBlock(nn.Module):
         elif self.upsample:
             if self.fused:
                 x = FusedUpsample(self.features,
-                                  only_vertical=self.only_vertical)(x)
+                                  only_vertical=self.only_vertical,
+                                  phase=self.phase_upsample,
+                                  name="FusedUpsample_0")(x)
+            elif self.phase_upsample and self.only_vertical:
+                x = _PhaseUpConv(self.features, dtype=self.dtype,
+                                 name="Conv_0")(x)
             else:
                 scale = (2, 1) if self.only_vertical else (2, 2)
                 x = upsample_nearest(x, scale)
                 x = nn.Conv(self.features, (3, 3), padding="SAME",
-                            dtype=self.dtype)(x)
+                            dtype=self.dtype, name="Conv_0")(x)
             if not blur_in_epilogue:
                 x = blur3x3(x)
         else:
@@ -114,8 +158,10 @@ class StyledConvBlock(nn.Module):
             x = nn.leaky_relu(x, 0.2)
             x = AdaIN(self.features, dtype=self.dtype)(x, style)
 
+        conv2_name = "Conv_1" if (self.upsample and not self.fused) \
+            else "Conv_0"
         x = nn.Conv(self.features, (3, 3), padding="SAME",
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, name=conv2_name)(x)
         if self.fused_epilogue and not self.defer_final_adain:
             return self._epilogue(x, style,
                                   None if noise is None else noise[1],
@@ -156,6 +202,7 @@ class SpacedGenerator(nn.Module):
     emb_dropout: float = 0.0
     small: bool = False
     fused_epilogue: bool = False  # Pallas one-pass block epilogues (inference)
+    phase_upsample: bool = False  # dense phase-decomposed upsample convs
     dtype: Any = jnp.float32      # compute dtype; bfloat16 for the MXU path
 
     @nn.compact
@@ -178,7 +225,8 @@ class SpacedGenerator(nn.Module):
         d = self.dim
         nz = lambda i: None if noise is None else noise[2 * i:2 * i + 2]
         blk = lambda *a, **kw: StyledConvBlock(
-            *a, dtype=self.dtype, fused_epilogue=self.fused_epilogue, **kw)
+            *a, dtype=self.dtype, fused_epilogue=self.fused_epilogue,
+            phase_upsample=self.phase_upsample, **kw)
         x = blk(d, initial=True)(x, style, nz(0))                         # H4
         x = blk(d // 2, upsample=True, only_vertical=True)(x, style, nz(1))  # H8
         x = blk(d // 4, upsample=True, only_vertical=True)(x, style, nz(2))  # H16

@@ -86,6 +86,7 @@ class HWWithStyle(nn.Module):
                 append_style=c.generator.append_style,
                 emb_dropout=c.generator.emb_dropout, small=c.generator.small,
                 fused_epilogue=c.generator.fused_epilogue,
+                phase_upsample=c.generator.phase_upsample,
                 dtype=dt or jnp.float32)
         else:
             self.generator = None

@@ -276,10 +276,20 @@ def blur3x3(x: jnp.ndarray) -> jnp.ndarray:
 
 class FusedUpsample(nn.Module):
     """Stride-2 transposed conv whose kernel is the 4-tap average of the
-    padded weight — StyleGAN's fused upsample (``pure_gen.py:250-279``)."""
+    padded weight — StyleGAN's fused upsample (``pure_gen.py:250-279``).
+
+    ``phase=True`` computes the identical transposed conv by phase
+    decomposition: a stride-2 convT evaluates the dilated input at 4
+    output phases, and with a 4x4 kernel each phase touches exactly a
+    2x2 window of the *undilated* input — so one dense 2x2 VALID conv on
+    the 1-padded input yields every phase by slicing, and the phases
+    interleave back with reshapes.  Same math (float-assoc level), but the
+    MXU runs a dense conv instead of a 3/4-zeros dilated one.
+    """
     features: int
     kernel: int = 3
     only_vertical: bool = False
+    phase: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -292,6 +302,8 @@ class FusedUpsample(nn.Module):
         mult = math.sqrt(2.0 / (in_f * k * k))
         wp = jnp.pad(w * mult, ((1, 1), (1, 1), (0, 0), (0, 0)))
         w4 = (wp[1:, 1:] + wp[:-1, 1:] + wp[1:, :-1] + wp[:-1, :-1]) / 4.0
+        if self.phase:
+            return self._phase_apply(x, w4, b)
         stride = (2, 1) if self.only_vertical else (2, 2)
         # torch conv_transpose2d(k=4, stride=2, padding=1) doubles the dim.
         # lax.conv_transpose pads the stride-dilated input, so per-side
@@ -301,6 +313,56 @@ class FusedUpsample(nn.Module):
         y = jax.lax.conv_transpose(
             x, w4.astype(x.dtype), strides=stride, padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b.astype(x.dtype)
+
+    def _phase_apply(self, x, w4, b):
+        """Dense-conv phase decomposition of the stride-2 convT.
+
+        Derivation (H side; W identical): with convT padding 2, output row
+        ``2a+ph`` reads dilated rows ``2a+ph+kh-2`` which are nonzero only
+        for ``kh = ph (mod 2)``, giving input rows ``a-1`` (kh=ph) and
+        ``a`` / ``a+1`` (kh=ph+2).  On the 1-padded input a single VALID
+        2x2 conv evaluates every (row-pair, col-pair) window once; phase
+        (ph, pw) is its ``[ph : H+ph, pw : W+pw]`` slice with kernel taps
+        ``w4[[ph, ph+2], [pw, pw+2]]``."""
+        B, H, W, Cin = x.shape
+        Cout = self.features
+        ov = self.only_vertical
+        ph_list = [(ph, pw) for ph in (0, 1)
+                   for pw in ((0,) if ov else (0, 1))]
+        if ov:
+            # W has stride 1: keep all 4 W taps of w4 with the original
+            # (1, 2) W padding; only H is phase-decomposed
+            wk = jnp.stack([w4[jnp.array([ph, ph + 2])] for ph, _ in ph_list],
+                           axis=3)          # [2, 4, Cin, P, Cout]
+            wk = wk.reshape(2, 4, Cin, len(ph_list) * Cout)
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 2), (0, 0)))
+        else:
+            wk = jnp.stack(
+                [w4[jnp.array([ph, ph + 2])][:, jnp.array([pw, pw + 2])]
+                 for ph, pw in ph_list],
+                axis=3)                     # [2, 2, Cin, P, Cout]
+            wk = wk.reshape(2, 2, Cin, len(ph_list) * Cout)
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        full = jax.lax.conv_general_dilated(
+            xp, wk.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # full: [B, H+1, W+1 (or W), P*Cout]
+        outs = []
+        for i, (ph, pw) in enumerate(ph_list):
+            sl = full[:, ph:H + ph]
+            if not ov:
+                sl = sl[:, :, pw:W + pw]
+            outs.append(sl[..., i * Cout:(i + 1) * Cout])
+        if ov:
+            y = jnp.stack(outs, axis=2)                # [B, H, 2, W, C]
+            y = y.reshape(B, 2 * H, W, Cout)
+        else:
+            e = jnp.stack([outs[0], outs[1]], axis=3)  # ph=0: [B,H,W,2,C]
+            o = jnp.stack([outs[2], outs[3]], axis=3)  # ph=1
+            e = e.reshape(B, H, 2 * W, Cout)
+            o = o.reshape(B, H, 2 * W, Cout)
+            y = jnp.stack([e, o], axis=2).reshape(B, 2 * H, 2 * W, Cout)
         return y + b.astype(x.dtype)
 
 

@@ -365,3 +365,29 @@ def test_fused_epilogue_matches_sequential():
     b = gen_fus.apply(params, oh, style, noise=noise)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_phase_upsample_matches_sequential():
+    """phase_upsample (dense phase-decomposed upsample convs) reproduces
+    the dilated-convT / nearest+conv path with identical params and noise,
+    with an unchanged param tree."""
+    B, T, S = 2, 16, 24
+    gen_a = SpacedGenerator(num_class=20, style_dim=S, dim=32)
+    gen_b = SpacedGenerator(num_class=20, style_dim=S, dim=32,
+                            phase_upsample=True)
+    k = jax.random.PRNGKey(0)
+    oh = jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, 20), 20)
+    style = jax.random.normal(jax.random.PRNGKey(2), (B, S))
+    params = gen_a.init({"params": k, "noise": k}, oh, style)
+    p2 = gen_b.init({"params": k, "noise": k}, oh, style)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+    hs, ws = [4, 8, 16, 32, 64], [T, T, T, 2 * T, 4 * T]
+    noise = [jax.random.normal(jax.random.fold_in(k, 10 * h + j),
+                               (B, h, w, 1))
+             for h, w in zip(hs, ws) for j in range(2)]
+    a = gen_a.apply(params, oh, style, noise=noise)
+    b = gen_b.apply(params, oh, style, noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
