@@ -118,7 +118,15 @@ class StyledConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, style, noise=None):
-        blur_in_epilogue = self.fused_epilogue and self.upsample
+        # Mosaic only lowers the kernel's [H, W*C] -> [H, W, C] shape cast
+        # when C fills whole 128-lane registers; narrower blocks (C = 64/32/
+        # 16 in the paper generator) keep the sequential path on TPU.  Off
+        # TPU the kernel runs in the Pallas interpreter, which has no lane
+        # restriction — the CPU parity test covers every C.  Param names are
+        # identical either way, so checkpoints are unaffected.
+        use_fused = self.fused_epilogue and (
+            self.features % 128 == 0 or jax.default_backend() != "tpu")
+        blur_in_epilogue = use_fused and self.upsample
         if self.initial:
             # ConvT (4,3), torch padding (0,1): H 1->4, W preserved
             # (pure_gen.py:161-163).  lax.conv_transpose pads the dilated
@@ -146,7 +154,7 @@ class StyledConvBlock(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype)(x)
 
-        if self.fused_epilogue:
+        if use_fused:
             x = self._epilogue(x, style,
                                None if noise is None else noise[0],
                                blur_in_epilogue,
@@ -162,7 +170,7 @@ class StyledConvBlock(nn.Module):
             else "Conv_0"
         x = nn.Conv(self.features, (3, 3), padding="SAME",
                     dtype=self.dtype, name=conv2_name)(x)
-        if self.fused_epilogue and not self.defer_final_adain:
+        if use_fused and not self.defer_final_adain:
             return self._epilogue(x, style,
                                   None if noise is None else noise[1],
                                   False, "AdaIN_1", "NoiseInjection_1")
