@@ -67,6 +67,53 @@ def replicate_state(mesh: Mesh, state):
     return jax.device_put(state, rep)
 
 
+def fsdp_sharding(mesh: Mesh, tree, min_size: int = 2048):
+    """Parameter-sharding specs over the mesh's ``model`` axis (FSDP/ZeRO).
+
+    Nothing in the model zoo *needs* tensor parallelism (SURVEY.md §2.6 —
+    the widest layer is a few MB), but sharding the parameter/optimizer
+    state over a second mesh axis is the idiomatic way to scale state
+    memory on TPU pods: weights live scattered, XLA all-gathers each one
+    over ICI just before use and re-scatters gradients (GSPMD inserts the
+    collectives; nothing model-side changes).
+
+    Rule: every float array with ``size >= min_size`` shards its largest
+    ``model``-divisible axis (ties -> last such axis, where conv kernels
+    keep C_out contiguous); everything else replicates.  Applying the same
+    shape rule to the whole train state automatically shards the Adam
+    moments consistently with their parameters.
+    """
+    n_model = mesh.shape["model"]
+    rep = replicated(mesh)
+
+    def spec(x):
+        shape = getattr(x, "shape", None)
+        if (shape is None or n_model == 1 or not hasattr(x, "dtype")
+                or x.dtype.kind != "f"
+                or int(np.prod(shape)) < min_size):
+            return rep
+        best = -1
+        for ax, d in enumerate(shape):
+            if d % n_model == 0 and d >= (shape[best] if best >= 0 else 0):
+                best = ax
+        if best < 0:
+            return rep
+        parts = [None] * len(shape)
+        parts[best] = "model"
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def shard_state(mesh: Mesh, state, fsdp: bool = False,
+                min_size: int = 2048):
+    """Place a train state on the mesh: replicated, or FSDP over ``model``."""
+    if not fsdp or mesh.shape.get("model", 1) == 1:
+        return replicate_state(mesh, state)
+    return jax.device_put(state, fsdp_sharding(mesh, state,
+                                               min_size=min_size))
+
+
 def check_group_local(batch_lines: int, a_batch_size: int,
                       n_devices: int) -> None:
     """Require whole author groups per device (see module docstring).

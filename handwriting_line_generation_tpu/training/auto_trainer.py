@@ -121,7 +121,8 @@ class AutoTrainer:
     def train(self, iterations: Optional[int] = None,
               log_every: Optional[int] = None,
               val_every: Optional[int] = None, val_batches: int = 5,
-              on_log=None, mesh=None, resume: bool = True) -> TrainLog:
+              on_log=None, mesh=None, resume: bool = True,
+              fsdp: bool = False) -> TrainLog:
         c = self.cfg
         iterations = iterations or c.trainer.iterations
         log_every = log_every or c.trainer.log_step
@@ -141,8 +142,8 @@ class AutoTrainer:
         place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (
-                place_global, replicate_state)
-            self.state = replicate_state(mesh, self.state)
+                place_global, shard_state)
+            self.state = shard_state(mesh, self.state, fsdp=fsdp)
             place = lambda x: place_global(mesh, x)
         start = int(self.state.step)
         import signal

@@ -626,8 +626,10 @@ class GanTrainer:
     def train(self, iterations: Optional[int] = None,
               log_every: Optional[int] = None,
               val_every: Optional[int] = None, val_batches: int = 5,
-              on_log=None, mesh=None, resume: bool = True) -> TrainLog:
-        """Curriculum loop; pass a ``Mesh`` for data-parallel SPMD."""
+              on_log=None, mesh=None, resume: bool = True,
+              fsdp: bool = False) -> TrainLog:
+        """Curriculum loop; pass a ``Mesh`` for data-parallel SPMD;
+        ``fsdp`` shards params/optimizer over the mesh's ``model`` axis."""
         c = self.cfg
         iterations = iterations or c.trainer.iterations
         log_every = log_every or c.trainer.log_step
@@ -655,10 +657,10 @@ class GanTrainer:
         self._place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (
-                check_group_local, place_global, replicate_state)
+                check_group_local, place_global, shard_state)
             check_group_local(c.data.batch_size * c.data.a_batch_size,
                               c.data.a_batch_size, mesh.shape["data"])
-            self.state = replicate_state(mesh, self.state)
+            self.state = shard_state(mesh, self.state, fsdp=fsdp)
             self._place = lambda x: place_global(mesh, x)
 
         start = int(self.state.step)

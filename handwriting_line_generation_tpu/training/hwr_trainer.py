@@ -146,7 +146,8 @@ class HWRTrainer:
               log_every: Optional[int] = None,
               val_every: Optional[int] = None,
               val_batches: Optional[int] = 10,
-              on_log=None, mesh=None, resume: bool = True) -> TrainLog:
+              on_log=None, mesh=None, resume: bool = True,
+              fsdp: bool = False) -> TrainLog:
         """Iteration loop; pass a ``Mesh`` for data-parallel SPMD (state
         replicated, batch sharded over the ``data`` axis)."""
         c = self.cfg
@@ -171,8 +172,8 @@ class HWRTrainer:
         place = lambda x: x
         if mesh is not None:
             from handwriting_line_generation_tpu.parallel.mesh import (
-                place_global, replicate_state)
-            self.state = replicate_state(mesh, self.state)
+                place_global, shard_state)
+            self.state = shard_state(mesh, self.state, fsdp=fsdp)
             place = lambda x: place_global(mesh, x)
 
         stop = {"flag": False}

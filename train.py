@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="data-parallel mesh size (0 = single device when "
                          "one chip is attached, else all local devices)")
+    ap.add_argument("--fsdp", type=int, default=0, metavar="M",
+                    help="shard params/optimizer over a model mesh axis of "
+                         "size M (FSDP/ZeRO-style; devices = data x M)")
     args = ap.parse_args()
 
     import os
@@ -75,17 +78,19 @@ def main():
                           for k, v in entry.items()}), flush=True)
 
     mesh = None
-    if args.distributed or args.mesh:
+    if args.distributed or args.mesh or args.fsdp:
         import jax
         from handwriting_line_generation_tpu.config import MeshConfig
         from handwriting_line_generation_tpu.parallel.mesh import (
             init_distributed, make_mesh)
         if args.distributed:
             init_distributed()
-        n = args.mesh or jax.device_count()
-        mesh = make_mesh(MeshConfig(data=n))
+        m = max(args.fsdp, 1)
+        n = args.mesh or (jax.device_count() // m)
+        mesh = make_mesh(MeshConfig(data=n, model=m))
         print(f"SPMD: {jax.process_count()} process(es), "
-              f"{n}-device data mesh", flush=True)
+              f"{n}x{m} data x model mesh"
+              + (" (fsdp params)" if m > 1 else ""), flush=True)
 
     kind = cfg.trainer.kind
     if kind == "hwr":
@@ -105,10 +110,12 @@ def main():
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
-            trainer.train(on_log=log, mesh=mesh, resume=args.resume)
+            trainer.train(on_log=log, mesh=mesh, resume=args.resume,
+                          fsdp=args.fsdp > 1)
         print(f"profiler trace written to {args.profile}", flush=True)
     else:
-        trainer.train(on_log=log, mesh=mesh, resume=args.resume)
+        trainer.train(on_log=log, mesh=mesh, resume=args.resume,
+                      fsdp=args.fsdp > 1)
 
 
 if __name__ == "__main__":
