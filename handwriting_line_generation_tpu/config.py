@@ -173,6 +173,11 @@ class DataConfig:
     num_workers: int = 2
     synthetic_authors: int = 20      # synthetic-corpus size (fix overfit:
     synthetic_lines: int = 50        # 8x24 memorizes, 20x50 generalizes)
+    synthetic_version: int = 2       # 3 = "hard" renderer (allographs,
+                                     # curved strokes, wobble, elastic warp,
+                                     # ink/brightness/noise; disjoint val
+                                     # authors) so a frozen reader lands at
+                                     # CER 0.05-0.15 instead of saturating
     u8_transfer: bool = True         # ship images to the device as raw u8
                                      # pixels (4x fewer host->device bytes;
                                      # exact — see ops.augment.dequantize_image)

@@ -153,10 +153,18 @@ def rimes_records(data_dir: str, split: str, img_height: int,
 
 def synthetic_records(split: str, img_height: int, charset: Charset,
                       n_authors: int = 8, lines_per_author: int = 24,
-                      **kw) -> List[LineRecord]:
+                      version: int = 2, **kw) -> List[LineRecord]:
     seed = {"train": 0, "valid": 1, "test": 2}.get(split, 3)
+    # v3 ("hard") corpus: held-out splits use disjoint author ids so the
+    # val reader score measures generalization to unseen writer styles,
+    # not memorization of the train styles.
+    offset = 0
+    if version >= 3:
+        offset = {"train": 0, "valid": 100_000, "test": 200_000}.get(
+            split, 300_000)
     corpus = SyntheticCorpus(n_authors, lines_per_author, charset,
-                             img_height, seed=seed, **kw)
+                             img_height, seed=seed, version=version,
+                             author_offset=offset, **kw)
     return [LineRecord(author=corpus.get(i)[2], gt=corpus.records[i][1],
                        load=(lambda c=corpus, j=i: c.get(j)[0]))
             for i in range(len(corpus))]
@@ -305,7 +313,8 @@ def make_batcher(cfg: DataConfig, split: str):
     if cfg.dataset == "synthetic":
         records = synthetic_records(split, cfg.img_height, charset,
                                     n_authors=cfg.synthetic_authors,
-                                    lines_per_author=cfg.synthetic_lines)
+                                    lines_per_author=cfg.synthetic_lines,
+                                    version=cfg.synthetic_version)
     elif cfg.dataset in ("iam_author", "iam_lines", "iam_words"):
         records = iam_records(cfg.data_dir, split, cfg.img_height,
                               cfg.max_width,
