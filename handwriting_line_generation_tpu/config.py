@@ -79,6 +79,10 @@ class GeneratorConfig:
     phase_upsample: bool = False    # dense phase-decomposed upsample convs
                                     # (exact; differentiable; pending on-chip
                                     # A/B before becoming the default)
+    use_char_style: bool = True     # when the extractor is tuple-style
+                                    # (char_style_dim > 0): condition the
+                                    # generator on per-position char styles
+                                    # (space_style, hw_with_style.py:341-361)
 
 
 @dataclass
@@ -136,6 +140,27 @@ class ModelConfig:
     # Params, norm statistics, log-softmax/CTC and loss arithmetic stay
     # float32 (mixed precision); bfloat16 engages the MXU's native rate.
     compute_dtype: str = "float32"
+
+    def char_cond_dim(self) -> int:
+        """Per-position style channels the generator consumes (0 on the
+        paper path; ``char_style_dim`` for tuple extractors with
+        ``use_char_style``)."""
+        if self.style.char_style_dim > 0 and self.generator.use_char_style:
+            return self.style.char_style_dim
+        return 0
+
+    def packed_style_dim(self) -> int:
+        """Width of one flat style-bank entry.
+
+        Single-style: ``style_dim``.  Tuple styles pack
+        ``[g | spacing | char.flat]`` so the interpolation bank (a ``[N, D]``
+        circular buffer) lerps every component consistently — the
+        reference declared tuple bank lists but never implemented
+        push/sample for them (``hw_with_style_trainer.py:120-122``)."""
+        csd = self.style.char_style_dim
+        if csd == 0:
+            return self.style.style_dim
+        return self.style.style_dim + csd + self.num_class * csd
 
     def jax_compute_dtype(self):
         """Validated map of ``compute_dtype`` -> jnp dtype (None = float32).

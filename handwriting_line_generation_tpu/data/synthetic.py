@@ -15,7 +15,7 @@ ink ~ +1 (``datasets/hw_dataset.py:156-157``).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import cv2
 import numpy as np
@@ -264,12 +264,20 @@ class SyntheticCorpus:
                 text = random_text(rng, charset, min_len, max_len)
                 self.records.append((a + author_offset, text,
                                      int(rng.integers(1 << 30))))
+        # renders are deterministic per record (text+author+seed), so memoize
+        # the uint8 render: the v3 renderer costs ~18 ms/line and the
+        # batchers re-load every epoch — uncached, the 1-core host starves
+        # the chip.  u8 storage keeps a 60x80 corpus under ~200 MB.
+        self._cache: Dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.records)
 
     def get(self, i: int) -> Tuple[np.ndarray, str, str]:
         author, text, seed = self.records[i]
-        render = render_line_hard if self.version >= 3 else render_line
-        img = render(text, self.charset, author, self.img_height, seed)
+        img = self._cache.get(i)
+        if img is None:
+            render = render_line_hard if self.version >= 3 else render_line
+            img = render(text, self.charset, author, self.img_height, seed)
+            self._cache[i] = img
         return normalize_image(img), text, f"synth{author:05d}"

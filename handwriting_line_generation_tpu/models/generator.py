@@ -201,7 +201,15 @@ class StyleMLP(nn.Module):
 
 
 class SpacedGenerator(nn.Module):
-    """Spaced one-hot ``[B, T, C]`` + style ``[B, S]`` -> image ``[B, 64, 4T, 1]``."""
+    """Spaced one-hot ``[B, T, C]`` + style ``[B, S]`` -> image ``[B, 64, 4T, 1]``.
+
+    ``char_style_dim > 0`` additionally takes a per-position style map
+    ``spaced_style [B, T, char_style_dim]`` (the output of
+    ``HWWithStyle.space_style``, the TPU realization of the reference's
+    per-character style placement, ``hw_with_style.py:341-361``) and
+    appends it to the content channels — char-specific vectors land at
+    their character positions while AdaIN stays driven by the global style.
+    """
     num_class: int
     style_dim: int
     dim: int = 256
@@ -209,13 +217,14 @@ class SpacedGenerator(nn.Module):
     append_style: bool = True
     emb_dropout: float = 0.0
     small: bool = False
+    char_style_dim: int = 0       # per-position spaced-style channels
     fused_epilogue: bool = False  # Pallas one-pass block epilogues (inference)
     phase_upsample: bool = False  # dense phase-decomposed upsample convs
     dtype: Any = jnp.float32      # compute dtype; bfloat16 for the MXU path
 
     @nn.compact
     def __call__(self, spaced_onehot, style, deterministic: bool = True,
-                 noise=None):
+                 noise=None, spaced_style=None):
         """``noise``: optional list of 10 ``[B, H, W, 1]`` arrays (2 per
         block, at each block's output resolution) overriding the internal
         ``noise`` rng stream — for parity tests against the fused path."""
@@ -229,6 +238,11 @@ class SpacedGenerator(nn.Module):
             s = jnp.broadcast_to(style[:, None, None, :],
                                  x.shape[:3] + (self.style_dim,))
             x = jnp.concatenate([x, s], axis=-1)
+        if self.char_style_dim > 0:
+            if spaced_style is None:
+                raise ValueError("char_style_dim > 0 requires spaced_style")
+            x = jnp.concatenate(
+                [x, spaced_style[:, None, :, :].astype(self.dtype)], axis=-1)
 
         d = self.dim
         nz = lambda i: None if noise is None else noise[2 * i:2 * i + 2]

@@ -85,6 +85,7 @@ class HWWithStyle(nn.Module):
                 dim=c.generator.dim, n_style_trans=c.generator.n_style_trans,
                 append_style=c.generator.append_style,
                 emb_dropout=c.generator.emb_dropout, small=c.generator.small,
+                char_style_dim=c.char_cond_dim(),
                 fused_epilogue=c.generator.fused_epilogue,
                 phase_upsample=c.generator.phase_upsample,
                 dtype=dt or jnp.float32)
@@ -148,22 +149,45 @@ class HWWithStyle(nn.Module):
             count_duplicates=c.spacer.count_duplicates)
         return spaced, {"counts": counts, "total_len": total}
 
+    def _style_tuple(self, style):
+        """Canonical style form: unpack flat bank rows to tuples when the
+        extractor is tuple-style (packed layout of :func:`pack_style`)."""
+        c = self.cfg
+        if (c.style.char_style_dim > 0 and not isinstance(style, tuple)
+                and style.shape[-1] == c.packed_style_dim()):
+            return unpack_style(style, c.style.style_dim,
+                                c.style.char_style_dim, c.num_class)
+        return style
+
+    def _spaced_style(self, spaced, style):
+        """Per-position conditioning map for the generator (or None)."""
+        if self.cfg.char_cond_dim() == 0:
+            return None
+        style = self._style_tuple(style)
+        if not isinstance(style, tuple):
+            raise ValueError("char-conditioned generator needs tuple styles")
+        return space_style(spaced, style)
+
     def generate(self, labels, label_lengths, style, rng, *,
                  spaced_len: int, deterministic: bool = True):
         """Full text->image generation (``hw_with_style.py:232-268``)."""
+        style = self._style_tuple(style)
         spaced, aux = self.space(labels, label_lengths, style, rng,
                                  spaced_len=spaced_len,
                                  deterministic=deterministic)
         img = self.generator(onehot(spaced, self.cfg.num_class),
-                             _flat_style(style), deterministic=deterministic)
+                             _flat_style(style), deterministic=deterministic,
+                             spaced_style=self._spaced_style(spaced, style))
         aux["spaced"] = spaced
         return img, aux
 
     def generate_spaced(self, spaced, style, deterministic: bool = True):
         """Generator on a precomputed spaced class map ``[B, T]``."""
+        style = self._style_tuple(style)
         return self.generator(onehot(spaced, self.cfg.num_class),
                               _flat_style(style),
-                              deterministic=deterministic)
+                              deterministic=deterministic,
+                              spaced_style=self._spaced_style(spaced, style))
 
     def autoencode(self, image, labels, label_lengths, a_batch_size: int = 1,
                    spaced_label: Optional[jnp.ndarray] = None,
@@ -175,9 +199,10 @@ class HWWithStyle(nn.Module):
                                          frame_lengths=frame_lengths)
         if spaced_label is None:
             spaced_label = viterbi_align(pred, labels, label_lengths)
-        recon = self.generator(onehot(spaced_label, self.cfg.num_class),
-                               _flat_style(style),
-                               deterministic=deterministic)
+        recon = self.generator(
+            onehot(spaced_label, self.cfg.num_class), _flat_style(style),
+            deterministic=deterministic,
+            spaced_style=self._spaced_style(spaced_label, style))
         return recon, {"style": style, "pred": pred,
                        "spaced_label": spaced_label}
 
@@ -197,10 +222,11 @@ class HWWithStyle(nn.Module):
         if self.hwr is not None and self.style_extractor is not None:
             recon, aux = self.autoencode(image, labels, label_lengths,
                                          a_batch_size)
-            style = _flat_style(aux["style"])
+            style = aux["style"]
             outs.append(recon)
         else:
-            style = jnp.zeros((image.shape[0], self.cfg.style.style_dim))
+            style = jnp.zeros((image.shape[0],
+                               self.cfg.packed_style_dim()))
             if self.hwr is not None:
                 outs.append(self.hwr(image))
         if self.generator is not None and self.spacer is not None:
@@ -213,7 +239,8 @@ class HWWithStyle(nn.Module):
             outs.append(self.generate_spaced(spaced, style))
         if self.discriminator is not None:
             outs.append(self.discriminator(
-                image, style=style if self.cfg.discriminator.cond else None))
+                image, style=(_flat_style(style)
+                              if self.cfg.discriminator.cond else None)))
         return outs
 
 
@@ -222,3 +249,46 @@ def _flat_style(style):
     if isinstance(style, tuple):
         return style[0]
     return style
+
+
+def space_style(spaced: jnp.ndarray, style: Tuple[jnp.ndarray, jnp.ndarray,
+                                                  jnp.ndarray]
+                ) -> jnp.ndarray:
+    """Per-position placement of tuple styles (``hw_with_style.py:341-361``).
+
+    ``spaced [B, T]`` class map; ``style = (g, spacing, char)`` with
+    ``spacing [B, D]`` and ``char [B, num_class, D]``.  Every position
+    holding character ``c`` gets ``char[b, c]``; every blank position
+    (leading, inter-char and trailing) gets ``spacing[b]`` — exactly the
+    reference's loop semantics, as one gather + select instead of the
+    per-batch per-position Python loop.  Returns ``[B, T, D]``.
+    """
+    _, spacing, char = style
+    gathered = jnp.take_along_axis(
+        char, spaced[:, :, None].astype(jnp.int32), axis=1)   # [B, T, D]
+    is_char = (spaced != 0)[:, :, None]
+    return jnp.where(is_char, gathered, spacing[:, None, :])
+
+
+def pack_style(style) -> jnp.ndarray:
+    """Flatten a style (or tuple) to one bank row ``[B, D_packed]``.
+
+    Layout ``[g | spacing | char.reshape(-1)]`` — matches
+    ``ModelConfig.packed_style_dim`` and ``unpack_style``."""
+    if not isinstance(style, tuple):
+        return style
+    g, spacing, char = style
+    return jnp.concatenate(
+        [g, spacing, char.reshape(char.shape[0], -1)], axis=-1)
+
+
+def unpack_style(flat: jnp.ndarray, style_dim: int, char_style_dim: int,
+                 num_class: int):
+    """Inverse of :func:`pack_style` (identity when ``char_style_dim==0``)."""
+    if char_style_dim == 0:
+        return flat
+    g = flat[:, :style_dim]
+    spacing = flat[:, style_dim:style_dim + char_style_dim]
+    char = flat[:, style_dim + char_style_dim:].reshape(
+        flat.shape[0], num_class, char_style_dim)
+    return g, spacing, char

@@ -61,7 +61,7 @@ from handwriting_line_generation_tpu.data.datasets import (
 from handwriting_line_generation_tpu.data.text_data import TextSampler
 from handwriting_line_generation_tpu.models.autoencoder import build_encoder
 from handwriting_line_generation_tpu.models.hw_with_style import (
-    HWWithStyle, _flat_style,
+    HWWithStyle, _flat_style, pack_style,
 )
 from handwriting_line_generation_tpu.ops.augment import (
     apply_augmentation, dequantize_image, fg_to_float,
@@ -315,7 +315,7 @@ class GanTrainer:
         B = label.shape[0]
         style_gen = bank_sample(state.style_bank, state.bank_count, srng,
                                 B, self.interp_low, self.interp_high,
-                                self.cfg.model.style.style_dim)
+                                self.cfg.model.packed_style_dim())
 
         def gen_fwd(params):
             return self._gen_image(params, state.spectral, label, lens,
@@ -333,7 +333,8 @@ class GanTrainer:
             return self._ctc(logp, label, lens, self.w["genRecog"])
 
         def adv_head(im):
-            kw = ({"style": style_gen}
+            # packed layout puts g_style first; cond-D sees g only
+            kw = ({"style": style_gen[:, :self.cfg.model.style.style_dim]}
                   if self.cfg.model.discriminator.cond else {})
             scores, spec = self._apply(state.params, state.spectral,
                                        "discriminate", im, **kw)
@@ -492,7 +493,7 @@ class GanTrainer:
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
                                         updates)
         # push one style per author group to the bank (trainer:548-551)
-        styles = _flat_style(aux["style"])[::a_batch]
+        styles = pack_style(aux["style"])[::a_batch]
         bank, count = bank_push(state.style_bank, state.bank_count,
                                 jax.lax.stop_gradient(styles))
         new = state.replace(
@@ -524,7 +525,7 @@ class GanTrainer:
         spaced_len = image.shape[2] // 4
         style_gen = bank_sample(state.style_bank, state.bank_count, srng,
                                 B, self.interp_low, self.interp_high,
-                                self.cfg.model.style.style_dim)
+                                self.cfg.model.packed_style_dim())
         fake, _ = self._gen_image(state.params, state.spectral, label, lens,
                                   style_gen, krng, nrng, spaced_len)
         fake = jax.lax.stop_gradient(fake)
@@ -542,7 +543,7 @@ class GanTrainer:
             # (and two applies = two power iterations, matching the
             # reference's per-forward SpectralNorm update)
             kwr = {"style": style_real} if style_real is not None else {}
-            kwf = ({"style": style_gen}
+            kwf = ({"style": style_gen[:, :self.cfg.model.style.style_dim]}
                    if self.cfg.model.discriminator.cond else {})
             real_s, spec = self._apply(params, state.spectral,
                                        "discriminate", image, **kwr)
@@ -609,7 +610,7 @@ class GanTrainer:
         B = label.shape[0]
         style = bank_sample(style_bank, bank_count, srng, B,
                             self.interp_low, self.interp_high,
-                            self.cfg.model.style.style_dim)
+                            self.cfg.model.packed_style_dim())
         img, aux = self.model.apply(
             {"params": params}, label, lens, style, krng,
             spaced_len=spaced_len, method="generate", rngs={"noise": nrng})
@@ -976,7 +977,7 @@ class GanTrainer:
         B = label.shape[0]
         style = bank_sample(style_bank, bank_count, srng, B,
                             self.interp_low, self.interp_high,
-                            self.cfg.model.style.style_dim)
+                            self.cfg.model.packed_style_dim())
         img, _ = self.model.apply(
             {"params": params}, label, lens, style, krng,
             spaced_len=spaced_len, method="generate", rngs={"noise": nrng})

@@ -284,7 +284,7 @@ def create_gan_state(cfg: Config, variables, rng,
         saved_adv=zeros_like_grads(params),
         have_saved=jnp.zeros((), jnp.bool_),
         style_bank=jnp.zeros((cfg.trainer.prev_style_size,
-                              cfg.model.style.style_dim)),
+                              cfg.model.packed_style_dim())),
         bank_count=jnp.zeros((), jnp.int32),
         rng=rng,
         opt_gen_only=(gen_only_tx.init(params)

@@ -391,3 +391,81 @@ def test_phase_upsample_matches_sequential():
     b = gen_b.apply(params, oh, style, noise=noise)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_space_style_semantics_and_pack_roundtrip():
+    """Char positions get their class's style; blanks (leading, inter,
+    trailing) get the spacing style (hw_with_style.py:341-361).  pack/unpack
+    is an exact roundtrip for the bank's flat rows."""
+    from handwriting_line_generation_tpu.models.hw_with_style import (
+        pack_style, space_style, unpack_style)
+    B, T, C, D, G = 2, 7, 5, 3, 4
+    rng = np.random.default_rng(0)
+    spaced = jnp.asarray([[0, 2, 0, 0, 3, 0, 0],
+                          [1, 1, 0, 4, 0, 0, 0]])
+    g = jnp.asarray(rng.standard_normal((B, G)), jnp.float32)
+    spacing = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    char = jnp.asarray(rng.standard_normal((B, C, D)), jnp.float32)
+    out = np.asarray(space_style(spaced, (g, spacing, char)))
+    assert out.shape == (B, T, D)
+    np.testing.assert_array_equal(out[0, 0], np.asarray(spacing)[0])  # lead
+    np.testing.assert_array_equal(out[0, 1], np.asarray(char)[0, 2])
+    np.testing.assert_array_equal(out[0, 4], np.asarray(char)[0, 3])
+    np.testing.assert_array_equal(out[0, 6], np.asarray(spacing)[0])  # trail
+    np.testing.assert_array_equal(out[1, 3], np.asarray(char)[1, 4])
+
+    flat = pack_style((g, spacing, char))
+    assert flat.shape == (B, G + D + C * D)
+    g2, s2, c2 = unpack_style(flat, G, D, C)
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(g))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(spacing))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(char))
+    # csd=0: identity
+    assert unpack_style(g, G, 0, C) is g
+
+
+def test_tuple_style_generate_path():
+    """char_style_dim>0 end-to-end model flows: autoencode produces a tuple
+    style, generate consumes both the tuple and its packed flat form
+    (the style-bank storage format) with identical output."""
+    from handwriting_line_generation_tpu.config import (
+        DiscriminatorConfig, GeneratorConfig, HWRConfig, SpacerConfig)
+    from handwriting_line_generation_tpu.models.hw_with_style import \
+        pack_style
+    cfg = ModelConfig(
+        num_class=20,
+        hwr=HWRConfig(kind="cnn_only", norm="group", num_class=20),
+        style=StyleConfig(style_dim=16, char_style_dim=6, dim=8, char_dim=8,
+                          window=2, char_capacity=4),
+        generator=GeneratorConfig(dim=32),
+        discriminator=DiscriminatorConfig(enabled=False),
+        spacer=SpacerConfig(dim=16))
+    assert cfg.char_cond_dim() == 6
+    assert cfg.packed_style_dim() == 16 + 6 + 20 * 6
+    model = HWWithStyle(cfg)
+    B, W, L = 2, 64, 6
+    img = jax.random.normal(jax.random.PRNGKey(0), (B, 64, W, 1))
+    label = jax.random.randint(jax.random.PRNGKey(1), (B, L), 1, 20)
+    lens = jnp.asarray([L, L - 2])
+    variables = model.init({"params": jax.random.PRNGKey(2),
+                            "noise": jax.random.PRNGKey(3)},
+                           img, label, lens, 1, spaced_len=16,
+                           method="init_all")
+    recon, aux = model.apply(variables, img, label, lens, 1,
+                             method="autoencode",
+                             rngs={"noise": jax.random.PRNGKey(4)})
+    assert recon.shape == (B, 64, W, 1)
+    style = aux["style"]
+    assert isinstance(style, tuple) and len(style) == 3
+    assert style[2].shape == (B, 20, 6)
+    out_t, _ = model.apply(variables, label, lens, style,
+                           jax.random.PRNGKey(5), spaced_len=16,
+                           method="generate",
+                           rngs={"noise": jax.random.PRNGKey(6)})
+    out_f, _ = model.apply(variables, label, lens, pack_style(style),
+                           jax.random.PRNGKey(5), spaced_len=16,
+                           method="generate",
+                           rngs={"noise": jax.random.PRNGKey(6)})
+    assert out_t.shape == (B, 64, 64, 1)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_f),
+                               rtol=1e-6, atol=1e-6)

@@ -212,3 +212,54 @@ def test_curriculum_flags_and_tagsets_match_reference():
     seq = [ours.get_lesson(i) for i in range(7)]
     ref_seq = [ref.getLesson(i) for i in range(7)]
     assert seq == ref_seq
+
+
+def test_space_style_matches_reference_exactly():
+    """Per-character style placement: exec the reference's ``space_style``
+    method (hw_with_style.py:341-361) and compare our vectorized gather on
+    random spaced one-hots + tuple styles."""
+    import torch
+
+    from handwriting_line_generation_tpu.models.hw_with_style import \
+        space_style
+
+    src = open(os.path.join(REF, "model", "hw_with_style.py")).read()
+    tree = ast.parse(src)
+    cls = next(n for n in tree.body if isinstance(n, ast.ClassDef)
+               and n.name == "HWWithStyle")
+    fn = next(n for n in cls.body
+              if isinstance(n, ast.FunctionDef) and n.name == "space_style")
+    ns = {"torch": torch, "np": np}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "<ref>", "exec"), ns)
+    ref_space_style = ns["space_style"]
+
+    class FakeSelf:
+        pass
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        B = int(rng.integers(1, 4))
+        W = int(rng.integers(5, 40))
+        C = int(rng.integers(4, 12))
+        D = int(rng.integers(2, 9))
+        G = 16
+        spaced_cls = rng.integers(0, C, size=(B, W))
+        # rows can be all-blank (leading/trailing-only) — valid input
+        oh = np.zeros((W, B, C), np.float32)
+        for b in range(B):
+            oh[np.arange(W), b, spaced_cls[b]] = 1.0
+        g = rng.standard_normal((B, G)).astype(np.float32)
+        spacing = rng.standard_normal((B, D)).astype(np.float32)
+        char = rng.standard_normal((B, C, D)).astype(np.float32)
+
+        fake = FakeSelf()
+        fake.char_style_dim = D
+        _, ref_styled, _ = ref_space_style(
+            fake, torch.tensor(oh),
+            (torch.tensor(g), torch.tensor(spacing), torch.tensor(char)))
+        ours = space_style(jnp.asarray(spaced_cls),
+                           (jnp.asarray(g), jnp.asarray(spacing),
+                            jnp.asarray(char)))
+        np.testing.assert_allclose(np.asarray(ours),
+                                   ref_styled.numpy().transpose(1, 0, 2),
+                                   rtol=0, atol=0)

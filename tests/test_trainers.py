@@ -585,3 +585,27 @@ def test_fresh_run_refuses_existing_checkpoints(tmp_path):
     tr3 = HWRTrainer(cfg)
     tr3.train(resume=True)
     assert int(tr3.state.step) >= 2
+
+
+@pytest.mark.slow
+def test_gan_tuple_style_full_cycle_cpu():
+    """char_style_dim>0 (tuple styles + per-position space_style generator
+    conditioning + packed style bank) trains through the full paper lesson
+    cycle — the reference declared this path but never wired it end-to-end
+    (tuple bank lists unused, hw_with_style_trainer.py:120-122)."""
+    cfg = _tiny_gan_cfg()
+    cfg.model.style.char_style_dim = 8
+    tr = GanTrainer(cfg)
+    assert cfg.model.packed_style_dim() == 32 + 8 + cfg.model.num_class * 8
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    tr.state = tr.init_state(next(it))
+    assert tr.state.style_bank.shape[1] == cfg.model.packed_style_dim()
+    outs = {}
+    for i in range(7):
+        out = tr.run_lesson(tr.curriculum.get_lesson(i), it)
+        outs.update(out)
+        for k, v in out.items():
+            assert np.isfinite(float(v)), (i, k)
+    assert {"countLoss", "genRecogLoss", "autoLoss",
+            "discriminatorLoss"} <= set(outs)
+    assert int(tr.state.bank_count) > 0
