@@ -263,3 +263,171 @@ def test_space_style_matches_reference_exactly():
         np.testing.assert_allclose(np.asarray(ours),
                                    ref_styled.numpy().transpose(1, 0, 2),
                                    rtol=0, atol=0)
+
+
+def test_insert_spaces_matches_reference_exactly():
+    """Spaced-text construction: exec the reference's ``insert_spaces``
+    (hw_with_style.py:302-328) with count_std=dup_std=0 (deterministic) and
+    compare the static-shape scatter on counts with halves (round-half-even)
+    and negatives (clamped/dropped chars)."""
+    import torch
+
+    from handwriting_line_generation_tpu.ops.spacing import insert_spaces
+
+    src = open(os.path.join(REF, "model", "hw_with_style.py")).read()
+    tree = ast.parse(src)
+    cls = next(n for n in tree.body if isinstance(n, ast.ClassDef)
+               and n.name == "HWWithStyle")
+    fn = next(n for n in cls.body if isinstance(n, ast.FunctionDef)
+              and n.name == "insert_spaces")
+    import math
+    ns = {"torch": torch, "np": np, "math": math}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "<ref>", "exec"), ns)
+    ref_insert = ns["insert_spaces"]
+
+    class FakeSelf:
+        count_std = 0.0
+        dup_std = 0.0
+        count_duplicates = True
+        num_class = 9
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        B = int(rng.integers(1, 4))
+        L = int(rng.integers(2, 7))
+        labels = rng.integers(1, 9, size=(B, L)).astype(np.int64)
+        lens = rng.integers(1, L + 1, size=B).astype(np.int64)
+        counts = rng.choice(
+            [-1.2, -0.4, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0],
+            size=(B, L, 2)).astype(np.float32)
+        counts[..., 1] = np.abs(counts[..., 1]) + 0.5   # dup >= ~1
+
+        ref_spaced, ref_padded = ref_insert(
+            FakeSelf(), torch.tensor(labels.T), torch.tensor(lens),
+            torch.tensor(np.transpose(counts, (1, 0, 2))))
+        S = ref_spaced.shape[0]
+        ours, total = insert_spaces(
+            jnp.asarray(labels.astype(np.int32)), jnp.asarray(lens),
+            jnp.asarray(counts), jax.random.PRNGKey(0), max_len=S,
+            count_std=0.0, dup_std=0.0)
+        ref_cls = ref_spaced.argmax(dim=2).numpy().T        # [B, S]
+        np.testing.assert_array_equal(np.asarray(ours), ref_cls)
+        # line lengths: reference's padded fraction = (S - len(line)) / S
+        ref_total = [S - round(p * S) for p in ref_padded]
+        np.testing.assert_array_equal(np.asarray(total), ref_total)
+
+
+def test_make_mask_matches_reference_interior():
+    """Blob mask: exec the reference's ``makeMask`` (utils/util.py:59-243)
+    with the paper post-ops [thresh, dilateCircle, errodeCircle] on random
+    stroke images and compare the full blurred output.  Ink is kept >=40 px
+    from the borders: our morphology is SAME-padded (masks keep the image
+    shape) while the reference grows-then-shrinks the canvas, which differs
+    only within a kernel radius of the border (documented deviation,
+    ops/masks.py)."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    from handwriting_line_generation_tpu.ops.masks import make_mask
+
+    src = open(os.path.join(REF, "utils", "util.py")).read()
+    tree = ast.parse(src)
+    fns = [n for n in tree.body if isinstance(n, ast.FunctionDef)
+           and n.name in ("makeMask", "getCenterValue")]
+
+    class _Draw:                       # skimage.draw.line stand-in (absent
+        @staticmethod                  # in this env): integer Bresenham
+        def line(r0, c0, r1, c1):
+            n = max(abs(r1 - r0), abs(c1 - c0)) + 1
+            rr = np.linspace(r0, r1, n).round().astype(np.int64)
+            cc = np.linspace(c0, c1, n).round().astype(np.int64)
+            return rr, cc
+
+    ns = {"torch": torch, "np": np, "F": F, "math": math, "draw": _Draw}
+    exec(compile(ast.Module(body=fns, type_ignores=[]), "<ref>", "exec"), ns)
+    ref_make_mask = ns["makeMask"]
+
+    rng = np.random.default_rng(5)
+    B, H, W = 2, 64, 256
+    img = np.full((B, 1, H, W), -0.99, np.float32)   # 1 - px/128 paper
+    for b in range(B):
+        for _ in range(12):                           # random strokes, kept
+            y = int(rng.integers(30, 36))             # >= 12+blur px from
+            x0 = int(rng.integers(40, W - 80))        # every border (the
+            ln = int(rng.integers(8, 40))             # morphology band)
+            th = int(rng.integers(1, 4))
+            sl = float(rng.uniform(-0.3, 0.3))
+            for t in range(ln):
+                yy = int(np.clip(y + sl * t, 28, 38))
+                img[b, 0, yy:yy + th, x0 + t] = float(rng.uniform(0.7, 1.0))
+
+    ref_mask, _, _ = ref_make_mask(
+        torch.tensor(img), ["thresh", "dilateCircle", "errodeCircle"], False)
+
+    ours = make_mask(jnp.asarray(np.transpose(img, (0, 2, 3, 1))))
+    # reference returns blur(2*mask - 1) with a 7x7 mean (AvgPool2d,
+    # count_include_pad); apply the same to ours and compare everything
+    ours_pm = 2.0 * np.transpose(np.asarray(ours), (0, 3, 1, 2)) - 1.0
+    blurred = torch.nn.AvgPool2d(7, stride=1, padding=3)(
+        torch.tensor(ours_pm)).numpy()
+    np.testing.assert_allclose(blurred, ref_mask.numpy(), rtol=0, atol=1e-5)
+
+
+def test_count_gt_decode_matches_reference_exactly():
+    """Count ground truth from a blank-interleaved alignment: exec the
+    reference's inline decode loop (hw_with_style_trainer.py:671-697,
+    the count_duplicates branch) and compare ``counts_from_spaced`` on
+    random alignments, including never-recorded trailing runs."""
+    import textwrap
+
+    import torch
+
+    from handwriting_line_generation_tpu.ops.spacing import counts_from_spaced
+
+    lines = open(os.path.join(
+        REF, "trainer", "hw_with_style_trainer.py")).readlines()
+    block = textwrap.dedent("".join(lines[671:697]))   # inside the if: body
+    assert block.startswith("gt_counts")
+
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        B = int(rng.integers(1, 4))
+        L = int(rng.integers(2, 6))
+        S = int(rng.integers(8, 24))
+        # random alignment: runs of blanks and label chars in label order
+        labels = rng.integers(1, 7, size=(B, L)).astype(np.int64)
+        spaced = np.zeros((B, S), np.int64)
+        for b in range(B):
+            t = 0
+            for l in range(L):
+                blanks = int(rng.integers(0, 3))       # blanks before
+                if l > 0 and labels[b, l] == labels[b, l - 1]:
+                    blanks = max(blanks, 1)  # CTC/DTW invariant: repeated
+                    # chars are blank-separated or the runs merge
+                t += blanks
+                d = int(rng.integers(1, 4))            # duplicates
+                for _i in range(d):
+                    if t < S:
+                        spaced[b, t] = labels[b, l]
+                        t += 1
+
+        class _M:
+            count_duplicates = True
+
+        class _S:
+            model = _M()
+
+        _S.model.counts = torch.zeros(L, B, 2)
+        ns = {"torch": torch, "np": np, "self": _S,
+              "label": torch.tensor(labels.T),           # time-major [L, B]
+              "batch_size": B,
+              "index_spaced": torch.tensor(spaced.T)}    # [S, B]
+        exec(compile(block, "<ref-block>", "exec"), ns)
+        ref_gt = ns["gt_counts"].numpy()                  # [L, B, 2]
+
+        ours_gt, n_rec = counts_from_spaced(
+            jnp.asarray(spaced.astype(np.int32)), L)
+        np.testing.assert_array_equal(
+            np.asarray(ours_gt), np.transpose(ref_gt, (1, 0, 2)))
