@@ -19,7 +19,7 @@ from handwriting_line_generation_tpu.charset import (
     Charset, ctc_greedy_decode_batch,
 )
 from handwriting_line_generation_tpu.models.hw_with_style import (
-    HWWithStyle, _flat_style,
+    HWWithStyle, pack_style,
 )
 from handwriting_line_generation_tpu.ops.ctc import mask_frames_to_blank
 from handwriting_line_generation_tpu.utils.error_rates import (
@@ -138,7 +138,7 @@ class Evaluator:
                 recon, aux = self._autoencode(
                     image, label, lens, batch.get("a_batch_size", 1))
                 if save_nns:
-                    nn_styles.append(np.asarray(_flat_style(aux["style"])))
+                    nn_styles.append(np.asarray(pack_style(aux["style"])))
                     nn_authors.extend(batch.get(
                         "author", [""] * image.shape[0]))
                 auto = float(jnp.mean(jnp.abs(recon - image)))
@@ -146,7 +146,7 @@ class Evaluator:
                 if save_styles:
                     a = batch.get("a_batch_size", 1)
                     styles_acc.append(
-                        np.asarray(_flat_style(aux["style"]))[::a])
+                        np.asarray(pack_style(aux["style"]))[::a])
                     authors.extend(batch["author"][::a])
                 if save_spaced:
                     spaced_acc.append(np.asarray(aux["spaced_label"]))
@@ -157,8 +157,8 @@ class Evaluator:
                         cv2.imwrite(os.path.join(
                             out_dir, f"recon_{i}_{b}.png"), img)
                 if save_gen and out_dir:
-                    gen = self._generate(label, lens, _flat_style(
-                        aux["style"]), image.shape[2] // 4)
+                    gen = self._generate(label, lens, aux["style"],
+                                         image.shape[2] // 4)
                     for b in range(min(4, image.shape[0])):
                         cv2.imwrite(
                             os.path.join(out_dir, f"gen_{i}_{b}.png"),

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from handwriting_line_generation_tpu.models.hw_with_style import (
-    HWWithStyle, _flat_style,
+    HWWithStyle, pack_style,
 )
 
 
@@ -40,7 +40,11 @@ class StyleExtractor:
                     {"params": p}, im, a, method="extract_style"))
             self._fns[a_batch] = fn
         style, pred = fn(self.params, image)
-        return _flat_style(style), pred
+        # tuple styles are stored packed [g | spacing | char.flat] — the
+        # generate flows unpack them (the reference pickles raw tuples,
+        # get_styles.py:175-255; a flat matrix keeps npz + distance-metric
+        # consumers uniform).  Identity for single-style extractors.
+        return pack_style(style), pred
 
     def _apply_emb(self, style):
         """Pass raw styles through the generator's style-mapping MLP
