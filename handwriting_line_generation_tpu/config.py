@@ -144,8 +144,11 @@ class ModelConfig:
     def char_cond_dim(self) -> int:
         """Per-position style channels the generator consumes (0 on the
         paper path; ``char_style_dim`` for tuple extractors with
-        ``use_char_style``)."""
-        if self.style.char_style_dim > 0 and self.generator.use_char_style:
+        ``use_char_style``).  VAE extractors emit (mu, log_sigma) pairs,
+        not char tuples — the reference asserts the combination away too
+        (``char_style.py:141``)."""
+        if (self.style.char_style_dim > 0 and self.generator.use_char_style
+                and not self.style.vae):
             return self.style.char_style_dim
         return 0
 
@@ -158,7 +161,7 @@ class ModelConfig:
         reference declared tuple bank lists but never implemented
         push/sample for them (``hw_with_style_trainer.py:120-122``)."""
         csd = self.style.char_style_dim
-        if csd == 0:
+        if csd == 0 or self.style.vae:   # VAE banks store mu (pack_style)
             return self.style.style_dim
         return self.style.style_dim + csd + self.num_class * csd
 

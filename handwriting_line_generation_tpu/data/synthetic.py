@@ -134,18 +134,18 @@ class HardAuthorStyle:
         rng = np.random.default_rng(9_700_000 + author_id)
         return HardAuthorStyle(
             slant=float(rng.uniform(-0.5, 0.5)),
-            thickness=int(rng.integers(1, 5)),
+            thickness=int(rng.integers(1, 4)),
             width_scale=float(rng.uniform(0.6, 1.35)),
-            jitter=float(rng.uniform(0.0, 1.8)),
+            jitter=float(rng.uniform(0.0, 1.2)),
             spacing=float(rng.uniform(0.3, 2.0)),
             allograph=rng.integers(0, N_ALLOGRAPHS, size=n_class),
             wobble_amp=float(rng.uniform(0.0, 0.12)),
             wobble_freq=float(rng.uniform(0.01, 0.06)),
             wobble_phase=float(rng.uniform(0, 2 * np.pi)),
             ink=float(rng.uniform(0.0, 80.0)),
-            overlap=float(rng.uniform(0.0, 0.25)),
+            overlap=float(rng.uniform(0.0, 0.18)),
             size_jitter=float(rng.uniform(0.02, 0.10)),
-            curve=float(rng.uniform(0.05, 0.22)),
+            curve=float(rng.uniform(0.04, 0.16)),
         )
 
 

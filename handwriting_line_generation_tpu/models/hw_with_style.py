@@ -197,10 +197,20 @@ class HWWithStyle(nn.Module):
         (``hw_with_style.py:270-279``)."""
         style, pred = self.extract_style(image, a_batch_size,
                                          frame_lengths=frame_lengths)
+        if self.cfg.style.vae and self.has_rng("vae"):
+            # reparameterized posterior sample drives the reconstruction in
+            # VAE training (the KL term lives in the trainer); flows that
+            # pass no "vae" rng stream (eval, inference) keep mu.  aux
+            # still carries the raw (mu, log_sigma) pair for the KL.
+            mu, log_sigma = style
+            eps = jax.random.normal(self.make_rng("vae"), mu.shape)
+            gen_style = mu + jnp.exp(log_sigma) * eps
+        else:
+            gen_style = _flat_style(style)
         if spaced_label is None:
             spaced_label = viterbi_align(pred, labels, label_lengths)
         recon = self.generator(
-            onehot(spaced_label, self.cfg.num_class), _flat_style(style),
+            onehot(spaced_label, self.cfg.num_class), gen_style,
             deterministic=deterministic,
             spaced_style=self._spaced_style(spaced_label, style))
         return recon, {"style": style, "pred": pred,
@@ -274,9 +284,13 @@ def pack_style(style) -> jnp.ndarray:
     """Flatten a style (or tuple) to one bank row ``[B, D_packed]``.
 
     Layout ``[g | spacing | char.reshape(-1)]`` — matches
-    ``ModelConfig.packed_style_dim`` and ``unpack_style``."""
+    ``ModelConfig.packed_style_dim`` and ``unpack_style``.  VAE styles
+    (``(mu, log_sigma)`` pairs) store the posterior mean: the bank feeds
+    deterministic generation/interpolation, where mu is the usable style."""
     if not isinstance(style, tuple):
         return style
+    if len(style) == 2:                      # VAE (mu, log_sigma)
+        return style[0]
     g, spacing, char = style
     return jnp.concatenate(
         [g, spacing, char.reshape(char.shape[0], -1)], axis=-1)

@@ -72,7 +72,7 @@ from handwriting_line_generation_tpu.ops.ctc import (ctc_loss_fast,
 from handwriting_line_generation_tpu.ops.spacing import counts_from_spaced, onehot
 from handwriting_line_generation_tpu.training.curriculum import Curriculum
 from handwriting_line_generation_tpu.training.losses import (
-    disc_hinge_loss, gen_adv_loss,
+    disc_hinge_loss, gen_adv_loss, vae_kl,
 )
 from handwriting_line_generation_tpu.training.train_state import (
     GanTrainState, balance_and_merge, bank_push, bank_sample,
@@ -120,6 +120,8 @@ class GanTrainer:
             "genRecog": lw.get("genRecog", 1e-4),
             "discriminator": lw.get("discriminator", 1.0),
             "generator": lw.get("generator", 1.0),
+            # VAE KL weight (styleReg, the reference's loss-key name)
+            "styleReg": lw.get("styleReg", 1.0),
         }
         self.use_perceptual = "perceptual" in (c.trainer.loss or
                                                {"perceptual": 1})
@@ -392,22 +394,37 @@ class GanTrainer:
         training), the recog heads additionally take the direct gradient
         w.r.t. the recognizer's own parameters.
         """
-        rng, aug_key, nrng = jax.random.split(state.rng, 3)
+        rng, aug_key, nrng, vrng = jax.random.split(state.rng, 4)
         image = dequantize_image(image, width)
         fg_mask = fg_to_float(fg_mask)
         image, fg_mask, wscale = apply_augmentation(
             self.cfg.data.augmentation, image, fg_mask, aug_key)
         frames = jnp.clip(jnp.ceil(width * wscale / 4.0).astype(jnp.int32),
                           1, image.shape[2] // 4)
+        vae = self.cfg.model.style.vae
 
         def autoencode(params):
+            rngs = {"noise": nrng}
+            if vae:
+                rngs["vae"] = vrng       # reparameterized posterior sample
             recon, aux = self.model.apply(
                 {"params": params}, image, label, lens, a_batch,
-                method="autoencode", rngs={"noise": nrng},
-                frame_lengths=frames)
+                method="autoencode", rngs=rngs, frame_lengths=frames)
+            if vae:
+                # KL rides the shared vjp as a second primal output — its
+                # gradient flows through extract_style directly, not
+                # through the reconstruction
+                return (recon, vae_kl(*aux["style"])), aux
             return recon, aux
 
-        recon, ae_vjp, aux = jax.vjp(autoencode, state.params, has_aux=True)
+        out, ae_vjp, aux = jax.vjp(autoencode, state.params, has_aux=True)
+        recon = out[0] if vae else out
+
+        def _ct(c_recon, c_kl=0.0):
+            """Cotangent for ae_vjp matching the primal output structure."""
+            if vae:
+                return (c_recon, jnp.asarray(c_kl, recon.dtype))
+            return c_recon
 
         def main_head(r):
             if self.no_bg_loss and fg_mask is not None:
@@ -447,11 +464,14 @@ class GanTrainer:
             # must also train the recognizer itself
             recog_l, (ct_recog, recog_p) = jax.value_and_grad(
                 recog_head, argnums=(0, 1))(recon, state.params)
-        main_g = ae_vjp(ct_main)[0]
+        if vae:
+            logs = dict(logs)
+            logs["klLoss"] = out[1]
+        main_g = ae_vjp(_ct(ct_main, self.w["styleReg"] if vae else 0.0))[0]
 
         if self.balance:
-            adv_g = ae_vjp(ct_adv)[0]
-            recog_g = ae_vjp(ct_recog)[0]
+            adv_g = ae_vjp(_ct(ct_adv))[0]
+            recog_g = ae_vjp(_ct(ct_recog))[0]
             if recog_p is not None:
                 recog_g = _tree_add(recog_g, recog_p)
             # multipliers are trace-time constants keyed on the static
@@ -476,7 +496,7 @@ class GanTrainer:
             logs["gnorm_main"] = optax_global_norm(main_g)
             logs["gnorm_merged"] = optax_global_norm(merged)
         else:
-            both_g = ae_vjp(ct_adv + ct_recog)[0]
+            both_g = ae_vjp(_ct(ct_adv + ct_recog))[0]
             if recog_p is not None:
                 both_g = _tree_add(both_g, recog_p)
             saved = jax.tree_util.tree_map(

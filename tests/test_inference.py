@@ -148,3 +148,62 @@ def test_wiki_text_fallback():
     assert any("Intro paragraph" in w2[i] for i in range(len(w2)))
     assert not any("stripped" in w2[i] for i in range(len(w2)))
     os.unlink(p)
+
+
+def test_wiki_text_hf_path_executes(monkeypatch):
+    """Drive the HF branch of WikiText with a stubbed ``datasets`` module —
+    the environment has no egress, so without this the streaming-ingest code
+    (reference wiki_text.py:8-125 equivalent) would never execute and could
+    bitrot invisibly."""
+    import sys
+    import types
+
+    article = ("Alpha beta gamma delta epsilon zeta eta theta iota kappa. "
+               "The quick brown fox jumps over the lazy dog repeatedly.\n\n"
+               "Second paragraph with enough plain text to clear the "
+               "minimum paragraph length filter easily.\n"
+               "References\n"
+               "[1] should be stripped entirely\n\n"
+               "this trailing part is after the references header")
+
+    class _Stream:
+        def __iter__(self):
+            while True:
+                yield {"text": article}
+
+    fake = types.ModuleType("datasets")
+    calls = {}
+
+    def load_dataset(name, conf, split, streaming):
+        calls["args"] = (name, conf, split, streaming)
+        return _Stream()
+
+    fake.load_dataset = load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+
+    w = WikiText(min_paragraph=20, try_hf=True)
+    assert calls["args"] == ("wikipedia", "20220301.en", "train", True)
+    assert len(w) > 0
+    joined = " ".join(w[i] for i in range(min(len(w), 8)))
+    assert "stripped" not in joined          # references section removed
+    assert "trailing part" not in joined
+    assert "quick brown fox" in joined
+    # charset filtering: output chars all within the generation charset
+    keep = set(w.charset.chars)
+    assert all(c in keep for c in joined)
+
+
+def test_wiki_text_hf_failure_falls_back(monkeypatch):
+    """HF import/raise inside _try_hf falls back to the local corpus."""
+    import sys
+    import types
+
+    fake = types.ModuleType("datasets")
+
+    def load_dataset(*a, **k):
+        raise RuntimeError("no egress")
+
+    fake.load_dataset = load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+    w = WikiText(min_paragraph=10, try_hf=True)
+    assert len(w) > 0                         # built-in corpus engaged

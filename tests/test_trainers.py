@@ -609,3 +609,27 @@ def test_gan_tuple_style_full_cycle_cpu():
     assert {"countLoss", "genRecogLoss", "autoLoss",
             "discriminatorLoss"} <= set(outs)
     assert int(tr.state.bank_count) > 0
+
+
+@pytest.mark.slow
+def test_gan_vae_style_full_cycle_cpu():
+    """VAE style mode trains end-to-end: reparameterized posterior sample
+    drives reconstruction, the KL term rides the shared vjp (klLoss logged,
+    gradient through extract_style), and the bank stores mu rows.  The
+    reference hard-codes vae=False (hw_with_style.py:107-112) — this path
+    only exists here."""
+    cfg = _tiny_gan_cfg()
+    cfg.model.style.vae = True
+    cfg.trainer.loss_weights["styleReg"] = 0.1
+    tr = GanTrainer(cfg)
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    tr.state = tr.init_state(next(it))
+    assert tr.state.style_bank.shape[1] == cfg.model.style.style_dim
+    outs = {}
+    for i in range(7):
+        out = tr.run_lesson(tr.curriculum.get_lesson(i), it)
+        outs.update(out)
+        for k, v in out.items():
+            assert np.isfinite(float(v)), (i, k)
+    assert "klLoss" in outs and float(outs["klLoss"]) > 0.0
+    assert int(tr.state.bank_count) > 0
