@@ -201,6 +201,10 @@ class DataConfig:
     num_workers: int = 2
     synthetic_authors: int = 20      # synthetic-corpus size (fix overfit:
     synthetic_lines: int = 50        # 8x24 memorizes, 20x50 generalizes)
+    # precomputed side caches (author_hw_dataset.py:255-290):
+    spaced_loc: Optional[str] = None    # npz of rid -> spaced class row
+    style_loc: Optional[str] = None     # npz/glob of {styles,authors[,ids]}
+    identity_spaced: bool = False       # no_spacing_for_spaced
     synthetic_version: int = 2       # 3 = "hard" renderer (allographs,
                                      # curved strokes, wobble, elastic warp,
                                      # ink/brightness/noise; disjoint val
@@ -397,6 +401,9 @@ def config_from_reference(ref: Dict[str, Any]) -> Config:
         fg_masks="fg_masks_dir" in dl,
         shuffle=dl.get("shuffle", True),
         text_data=trainer.get("text_data"),
+        spaced_loc=dl.get("spaced_loc"),
+        style_loc=dl.get("style_loc"),
+        identity_spaced=dl.get("no_spacing_for_spaced", False),
     )
 
     def _opt(prefix: str) -> OptimConfig:

@@ -53,6 +53,7 @@ class LineRecord:
     author: str
     gt: str
     load: Callable[[], np.ndarray]        # -> normalized [H, W] float32
+    rid: str = ""                         # stable record id (side caches)
 
 
 @functools.lru_cache(maxsize=48)
@@ -125,11 +126,12 @@ def iam_records(data_dir: str, split: str, img_height: int,
         xml = os.path.join(data_dir, "xmls", name + ".xml")
         lines, writer = parse(xml)
         img_path = os.path.join(data_dir, "forms", name + ".png")
-        for line in lines:
+        for j, line in enumerate(lines):
             records.append(LineRecord(
                 author=writer, gt=line.text,
                 load=(lambda p=img_path, b=line.bounds:
-                      load_crop_resize(p, b, img_height, max_width))))
+                      load_crop_resize(p, b, img_height, max_width)),
+                rid=f"{name}-{j}"))
     return records
 
 
@@ -143,11 +145,12 @@ def rimes_records(data_dir: str, split: str, img_height: int,
     records: List[LineRecord] = []
     for image, lines in pages.items():
         img_path = os.path.join(data_dir, "images_gray", image)
-        for line in lines:
+        for j, line in enumerate(lines):
             records.append(LineRecord(
                 author=image, gt=line.text,
                 load=(lambda p=img_path, b=line.bounds:
-                      load_crop_resize(p, b, img_height, max_width))))
+                      load_crop_resize(p, b, img_height, max_width)),
+                rid=f"{image}-{j}"))
     return records
 
 
@@ -165,8 +168,13 @@ def synthetic_records(split: str, img_height: int, charset: Charset,
     corpus = SyntheticCorpus(n_authors, lines_per_author, charset,
                              img_height, seed=seed, version=version,
                              author_offset=offset, **kw)
-    return [LineRecord(author=corpus.get(i)[2], gt=corpus.records[i][1],
-                       load=(lambda c=corpus, j=i: c.get(j)[0]))
+    # author string straight from the index — corpus.get() would render the
+    # line (18 ms each on the v3 renderer), turning construction of a
+    # 480-author corpus into minutes of eager rendering
+    return [LineRecord(author=f"synth{corpus.records[i][0]:05d}",
+                       gt=corpus.records[i][1],
+                       load=(lambda c=corpus, j=i: c.get(j)[0]),
+                       rid=f"syn-{split}-{i}")
             for i in range(len(corpus))]
 
 
@@ -210,11 +218,71 @@ def _assemble(records: List[LineRecord], charset: Charset,
         "image": image, "label": label, "label_lengths": lens,
         "width": widths, "gt": [r.gt for r in records],
         "author": [r.author for r in records],
+        "rid": [r.rid for r in records],
         "a_batch_size": a_batch_size,
     }
     if with_fg:
         out["fg_mask"] = fg
     return out
+
+
+# ---------------------------------------------------------------------------
+# Precomputed side caches (reference ``author_hw_dataset.py:255-290``):
+# ``spaced_loc`` — per-record cached alignments consumed by the trainer in
+# place of on-the-fly Viterbi/DTW; ``style_loc`` — precomputed style banks
+# attached per line (a random same-author style whose source group did NOT
+# include the line, the reference's id-exclusion rule).
+# ---------------------------------------------------------------------------
+
+
+class SideCaches:
+    def __init__(self, cfg: DataConfig):
+        self.spaced = None
+        self.styles = None
+        if cfg.spaced_loc:
+            self.spaced = np.load(cfg.spaced_loc, allow_pickle=False)
+        self.identity_spaced = cfg.identity_spaced
+        if cfg.style_loc:
+            import glob as _glob
+            paths = sorted(_glob.glob(cfg.style_loc)) or [cfg.style_loc]
+            by_author: Dict[str, List] = defaultdict(list)
+            for p in paths:
+                d = np.load(p, allow_pickle=True)
+                ids = d["ids"] if "ids" in d else [""] * len(d["authors"])
+                for s, a, i in zip(d["styles"], d["authors"], ids):
+                    by_author[str(a)].append((s, set(str(i).split(";"))))
+            self.styles = dict(by_author)
+
+    @property
+    def active(self) -> bool:
+        return (self.spaced is not None or self.identity_spaced
+                or self.styles is not None)
+
+    def attach(self, batch: Dict, records: List[LineRecord],
+               rng: np.random.Generator) -> None:
+        B = len(records)
+        if self.identity_spaced:
+            # no_spacing_for_spaced: the label sequence itself is the
+            # "alignment" (no blanks, one frame per char)
+            batch["spaced_label"] = batch["label"].copy()
+        elif self.spaced is not None:
+            T = batch["image"].shape[2] // 4
+            arr = np.zeros((B, T), np.int32)
+            for i, r in enumerate(records):
+                row = np.asarray(self.spaced[r.rid], np.int32).ravel()
+                arr[i, :min(row.size, T)] = row[:T]
+            batch["spaced_label"] = arr
+        if self.styles is not None:
+            rows = []
+            for r in records:
+                cand = self.styles.get(r.author)
+                if not cand:
+                    raise KeyError(f"style_loc bank has no styles for "
+                                   f"author {r.author!r}")
+                ok = [s for s, ids in cand if r.rid not in ids] or \
+                     [s for s, _ in cand]
+                rows.append(ok[int(rng.integers(len(ok)))])
+            batch["style"] = np.stack(rows).astype(np.float32)
 
 
 class LineBatcher:
@@ -227,6 +295,7 @@ class LineBatcher:
         self.batch_size = batch_size
         self.cfg = cfg
         self.with_fg = with_fg
+        self.caches = SideCaches(cfg)
 
     def __len__(self):
         return max(1, len(self.records) // self.batch_size)
@@ -238,8 +307,11 @@ class LineBatcher:
             rng.shuffle(order)
         for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
             recs = [self.records[j] for j in order[i:i + self.batch_size]]
-            yield _assemble(recs, self.charset, self.cfg.width_buckets,
-                            self.cfg.label_buckets, self.with_fg, 1)
+            batch = _assemble(recs, self.charset, self.cfg.width_buckets,
+                              self.cfg.label_buckets, self.with_fg, 1)
+            if self.caches.active:
+                self.caches.attach(batch, recs, rng)
+            yield batch
 
 
 class AuthorBatcher:
@@ -255,6 +327,7 @@ class AuthorBatcher:
         self.a = a_batch_size
         self.cfg = cfg
         self.with_fg = with_fg
+        self.caches = SideCaches(cfg)
         by_author: Dict[str, List[LineRecord]] = defaultdict(list)
         for r in records:
             by_author[r.author].append(r)
@@ -286,8 +359,11 @@ class AuthorBatcher:
         for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
             recs = [r for j in order[i:i + self.batch_size]
                     for r in self.groups[j]]
-            yield _assemble(recs, self.charset, self.cfg.width_buckets,
-                            self.cfg.label_buckets, self.with_fg, self.a)
+            batch = _assemble(recs, self.charset, self.cfg.width_buckets,
+                              self.cfg.label_buckets, self.with_fg, self.a)
+            if self.caches.active:
+                self.caches.attach(batch, recs, rng)
+            yield batch
 
 
 def forever(batcher, seed: int = 0, shuffle: bool = True) -> Iterator[Dict]:

@@ -56,19 +56,23 @@ class Evaluator:
         self._auto: Dict[int, Any] = {}
         self._gen: Dict[int, Any] = {}
 
-    def _autoencode(self, image, label, lens, a_batch: int):
+    def _autoencode(self, image, label, lens, frames, a_batch: int):
         # jit cache keyed by a_batch — a single cached closure would bake
         # the first call's a_batch into the trace and silently misgroup
-        # author lines for batchers with a different a_batch_size
+        # author lines for batchers with a different a_batch_size.
+        # ``frames`` masks recognizer frames past the true ink width, the
+        # same masking the training steps apply — so eval reconstructions
+        # (and the spaced_loc cache dumped from aux) see exactly the
+        # alignments training would compute.
         fn = self._auto.get(a_batch)
         if fn is None:
             fn = jax.jit(
-                lambda p, im, lb, ln, a=a_batch: self.model.apply(
+                lambda p, im, lb, ln, fr, a=a_batch: self.model.apply(
                     {"params": p}, im, lb, ln, a,
-                    method="autoencode",
+                    method="autoencode", frame_lengths=fr,
                     rngs={"noise": jax.random.PRNGKey(0)}))
             self._auto[a_batch] = fn
-        return fn(self.params, image, label, lens)
+        return fn(self.params, image, label, lens, frames)
 
     def _generate(self, label, lens, style, spaced_len: int):
         fn = self._gen.get(spaced_len)
@@ -107,7 +111,7 @@ class Evaluator:
         styles_acc: List[np.ndarray] = []
         nn_styles: List[np.ndarray] = []
         nn_authors: List[str] = []
-        spaced_acc: List[np.ndarray] = []
+        spaced_acc: Dict[str, np.ndarray] = {}
         authors: List[str] = []
         pred_rows: List[str] = []
         n = 0
@@ -136,7 +140,7 @@ class Evaluator:
             if self.model.cfg.style.kind != "none" and \
                     self.model.cfg.generator.kind != "none":
                 recon, aux = self._autoencode(
-                    image, label, lens, batch.get("a_batch_size", 1))
+                    image, label, lens, frames, batch.get("a_batch_size", 1))
                 if save_nns:
                     nn_styles.append(np.asarray(pack_style(aux["style"])))
                     nn_authors.extend(batch.get(
@@ -149,7 +153,13 @@ class Evaluator:
                         np.asarray(pack_style(aux["style"]))[::a])
                     authors.extend(batch["author"][::a])
                 if save_spaced:
-                    spaced_acc.append(np.asarray(aux["spaced_label"]))
+                    # keyed by record id: the dataset's spaced_loc cache
+                    # (reference author_hw_dataset.py:283-290) reads these
+                    # back per line
+                    sl = np.asarray(aux["spaced_label"])
+                    for b, rid in enumerate(batch.get(
+                            "rid", [f"{i}-{b}" for b in range(len(sl))])):
+                        spaced_acc[rid or f"{i}-{b}"] = sl[b]
                 if save_images and out_dir:
                     for b in range(min(4, image.shape[0])):
                         img = side_by_side(np.asarray(image[b]),
@@ -171,7 +181,7 @@ class Evaluator:
                 styles=np.concatenate(styles_acc), authors=np.array(authors))
         if save_spaced and spaced_acc and out_dir:
             np.savez_compressed(os.path.join(out_dir, "spaced.npz"),
-                                *spaced_acc)
+                                **spaced_acc)
         if save_preds and pred_rows:
             with open(os.path.join(out_dir or ".", "preds.csv"), "w") as f:
                 f.write("batch,index,author,gt,pred,cer\n")

@@ -29,17 +29,21 @@ class StyleExtractor:
         self.params = params
         self._fns: Dict[int, object] = {}
 
-    def _extract(self, image, a_batch: int):
+    def _extract(self, image, frames, a_batch: int):
         # jit cache keyed by a_batch (a single closure would bake the first
         # call's group size into the trace and silently misgroup later
-        # batchers with a different a_batch_size)
+        # batchers with a different a_batch_size).  ``frames`` masks
+        # recognizer frames past each sample's true ink width — the same
+        # masking the training steps apply, so extracted styles match the
+        # ones training computed.
         fn = self._fns.get(a_batch)
         if fn is None:
             fn = jax.jit(
-                lambda p, im, a=a_batch: self.model.apply(
-                    {"params": p}, im, a, method="extract_style"))
+                lambda p, im, fr, a=a_batch: self.model.apply(
+                    {"params": p}, im, a, frame_lengths=fr,
+                    method="extract_style"))
             self._fns[a_batch] = fn
-        style, pred = fn(self.params, image)
+        style, pred = fn(self.params, image, frames)
         # tuple styles are stored packed [g | spacing | char.flat] — the
         # generate flows unpack them (the reference pickles raw tuples,
         # get_styles.py:175-255; a flat matrix keeps npz + distance-metric
@@ -75,14 +79,24 @@ class StyleExtractor:
             if on_batch is not None:
                 on_batch(batch)
             a = batch.get("a_batch_size", 1)
-            style, _ = self._extract(jnp.asarray(batch["image"]), a)
+            image = jnp.asarray(batch["image"])
+            frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
+                              image.shape[2] // 4)
+            style, _ = self._extract(image, frames, a)
             if through_emb:
                 style = self._apply_emb(style)
             s = np.asarray(style)[::a]                  # one per author group
             styles.append(s)
             authors.extend(batch["author"][::a])
-            ids.extend([f"{batch['author'][j]}_{i}_{j}"
-                        for j in range(0, len(batch["author"]), a)])
+            # per-group id = ";"-joined member record ids, so the dataset's
+            # style_loc exclusion rule ("don't hand a line a style computed
+            # from itself", author_hw_dataset.py:271-276) can apply
+            rids = batch.get("rid")
+            for j in range(0, len(batch["author"]), a):
+                if rids and any(rids[j:j + a]):
+                    ids.append(";".join(rids[j:j + a]))
+                else:
+                    ids.append(f"{batch['author'][j]}_{i}_{j}")
         return {"styles": np.concatenate(styles, axis=0),
                 "authors": authors, "ids": ids}
 

@@ -261,8 +261,12 @@ class GanTrainer:
 
     @partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
     def step_count(self, state: GanTrainState, image, label, lens,
-                   width, a_batch: int) -> Tuple[GanTrainState, Dict]:
-        """Lesson ["count"] (hw_with_style_trainer.py:616-719)."""
+                   width, a_batch: int,
+                   spaced_label=None) -> Tuple[GanTrainState, Dict]:
+        """Lesson ["count"] (hw_with_style_trainer.py:616-719).
+
+        ``spaced_label``: optional precomputed alignment (the dataset's
+        ``spaced_loc`` cache) replacing the on-the-fly Viterbi."""
         rng, aug_key = jax.random.split(state.rng)
         image = dequantize_image(image, width)
         image, _, wscale = apply_augmentation(self.cfg.data.augmentation,
@@ -281,9 +285,9 @@ class GanTrainer:
             style = _flat_style(style)
             if self.cfg.trainer.style_detach:
                 style = jax.lax.stop_gradient(style)
-            spaced_label = viterbi_align(pred, label, lens)
-            gt_counts, n_rec = counts_from_spaced(spaced_label,
-                                                  label.shape[1])
+            aligned = (spaced_label if spaced_label is not None
+                       else viterbi_align(pred, label, lens))
+            gt_counts, n_rec = counts_from_spaced(aligned, label.shape[1])
             counts = self.model.apply(
                 {"params": params},
                 onehot(label, self.cfg.model.num_class), style,
@@ -375,7 +379,8 @@ class GanTrainer:
     @partial(jax.jit, static_argnums=(0, 7, 8, 9), donate_argnums=1)
     def step_auto(self, state: GanTrainState, image, label, lens, fg_mask,
                   width, a_batch: int, opt_kind: str = "main",
-                  bal_stage: int = 0) -> Tuple[GanTrainState, Dict]:
+                  bal_stage: int = 0,
+                  spaced_label=None) -> Tuple[GanTrainState, Dict]:
         """Lesson ["auto", "auto-gen"]: main + adversarial + recog groups,
         balance-merged with the saved no-step groups.
 
@@ -409,7 +414,8 @@ class GanTrainer:
                 rngs["vae"] = vrng       # reparameterized posterior sample
             recon, aux = self.model.apply(
                 {"params": params}, image, label, lens, a_batch,
-                method="autoencode", rngs=rngs, frame_lengths=frames)
+                method="autoencode", rngs=rngs, frame_lengths=frames,
+                spaced_label=spaced_label)
             if vae:
                 # KL rides the shared vjp as a second primal output — its
                 # gradient flows through extract_style directly, not
@@ -863,9 +869,16 @@ class GanTrainer:
         label = place(jnp.asarray(batch["label"]))
         lens = place(jnp.asarray(batch["label_lengths"]))
         a_batch = batch.get("a_batch_size", 1)
+        # precomputed alignment cache (spaced_loc / identity_spaced):
+        # replaces in-step Viterbi, exactly like the reference's cached
+        # spaced_label (trainer:526-530)
+        spaced = batch.get("spaced_label")
+        if spaced is not None:
+            spaced = place(jnp.asarray(spaced))
         if "count" in lesson:
             self.state, out = self.step_count(self.state, image, label,
-                                              lens, width, a_batch)
+                                              lens, width, a_batch,
+                                              spaced)
         elif "auto" in lesson:
             fg_host = batch.get("fg_mask")
             if fg_host is not None and self.cfg.data.u8_transfer:
@@ -881,7 +894,7 @@ class GanTrainer:
                                       iteration)
             self.state, out = self.step_auto(self.state, image, label, lens,
                                              fg, width, a_batch, opt_kind,
-                                             bal_stage)
+                                             bal_stage, spaced)
             out = dict(out)
             pred_am = out.pop("pred_am", None)
             if pred_am is not None:

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--dtype", default=None,
                     choices=("float32", "bfloat16"),
                     help="override model.compute_dtype for the measurement")
+    ap.add_argument("--spaced-cache", action="store_true",
+                    help="feed a precomputed spaced_label (the spaced_loc "
+                         "production path) so the steps skip the in-step "
+                         "Viterbi scan; reports the cached-alignment MFU")
     args = ap.parse_args()
 
     import jax
@@ -66,12 +70,26 @@ def main():
     report = {"device": str(jax.devices()[0]),
               "batch": int(image.shape[0]),
               "image_w": int(image.shape[2]),
-              "compute_dtype": cfg.model.compute_dtype}
+              "compute_dtype": cfg.model.compute_dtype,
+              "spaced_cache": bool(args.spaced_cache)}
+
+    # --spaced-cache: a precomputed alignment rides the step exactly like
+    # the dataset's spaced_loc rows, so the jitted step drops its serial
+    # Viterbi scan (values don't affect timing; shapes/dtype match the
+    # production cache)
+    spaced = None
+    if args.spaced_cache:
+        from handwriting_line_generation_tpu.ops.spacing import insert_spaces
+        B, L = label.shape
+        spaced, _ = insert_spaces(
+            label, lens, jnp.ones((B, L, 2)), jax.random.PRNGKey(0),
+            max_len=int(image.shape[2]) // 4)
+        spaced = jax.block_until_ready(spaced)
 
     # FLOPs from XLA cost analysis of the dominant (auto) lesson step
     # bound-jit .lower does not auto-insert self: go through the class attr
     lowered = type(tr).step_auto.lower(tr, tr.state, image, label, lens, fg,
-                                       width, a_batch, "main", 0)
+                                       width, a_batch, "main", 0, spaced)
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, list):                      # older jax returns [dict]
         cost = cost[0]
@@ -97,10 +115,15 @@ def main():
     report["lessons_per_sec"] = lessons / dt
 
     # MFU on the auto lesson (2 of 7 lessons; the FLOPs-dominant one)
+    # warm the (possibly spaced-cache) signature outside the timer — the
+    # curriculum warm-up above only compiled the no-cache variant
+    tr.state, _ = tr.step_auto(tr.state, image, label, lens, fg,
+                               width, a_batch, "main", 0, spaced)
+    jax.block_until_ready(tr.state.params)
     t0 = time.perf_counter()
     for j in range(args.iters):
         tr.state, _ = tr.step_auto(tr.state, image, label, lens, fg,
-                                   width, a_batch, "main", 0)
+                                   width, a_batch, "main", 0, spaced)
     jax.block_until_ready(tr.state.params)
     dt_auto = (time.perf_counter() - t0) / args.iters
     report["auto_sec_per_step"] = dt_auto

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-end measurement pass for the v2 recipes (60x80 synthetic data,
+# Round-end measurement pass for the v3 recipes (hard renderer, 60x80,
 # 20k-iteration readers, 175k GANs).  Run ONLY after training is stopped
 # (the TPU tunnel is exclusive).  Produces docs/samples/r3 + JSON metrics.
 set -u
@@ -18,29 +18,29 @@ run_quality() {  # cfg, run_dir, ckpt, texts, out_json, [render_dir]
       ${render:+-o "$render"} | tee "$out"
 }
 
-echo "== IAM v2 quality =="
-run_quality configs/syn_gan2.json saved/syn_gan2 model_best \
-    saved/syn_text.txt /tmp/r3/quality_iam2_best.json docs/samples/r3
-run_quality configs/syn_gan2.json saved/syn_gan2 checkpoint-latest-swa \
-    saved/syn_text.txt /tmp/r3/quality_iam2_swa.json
-run_quality configs/syn_gan2.json saved/syn_gan2 checkpoint-latest \
-    saved/syn_text.txt /tmp/r3/quality_iam2_latest.json
+echo "== IAM v3 quality =="
+run_quality configs/syn_gan3.json saved/syn_gan3 model_best \
+    saved/syn_text.txt /tmp/r3/quality_iam3_best.json docs/samples/r3
+run_quality configs/syn_gan3.json saved/syn_gan3 checkpoint-latest-swa \
+    saved/syn_text.txt /tmp/r3/quality_iam3_swa.json
+run_quality configs/syn_gan3.json saved/syn_gan3 checkpoint-latest \
+    saved/syn_text.txt /tmp/r3/quality_iam3_latest.json
 
-echo "== RIMES v2 quality =="
-run_quality configs/syn_rimes_gan2.json saved/syn_rimes_gan2 model_best \
-    saved/syn_rimes_text.txt /tmp/r3/quality_rimes2_best.json
-run_quality configs/syn_rimes_gan2.json saved/syn_rimes_gan2 \
-    checkpoint-latest-swa saved/syn_rimes_text.txt /tmp/r3/quality_rimes2_swa.json
-run_quality configs/syn_rimes_gan2.json saved/syn_rimes_gan2 \
-    checkpoint-latest saved/syn_rimes_text.txt /tmp/r3/quality_rimes2_latest.json
+echo "== RIMES v3 quality =="
+run_quality configs/syn_rimes_gan3.json saved/syn_rimes_gan3 model_best \
+    saved/syn_rimes_text.txt /tmp/r3/quality_rimes3_best.json
+run_quality configs/syn_rimes_gan3.json saved/syn_rimes_gan3 \
+    checkpoint-latest-swa saved/syn_rimes_text.txt /tmp/r3/quality_rimes3_swa.json
+run_quality configs/syn_rimes_gan3.json saved/syn_rimes_gan3 \
+    checkpoint-latest saved/syn_rimes_text.txt /tmp/r3/quality_rimes3_latest.json
 
 echo "== curves =="
 python - <<'EOF'
 import os
 from handwriting_line_generation_tpu.utils.train_log import TrainLog
-for run, png in [("saved/syn_gan2", "docs/samples/r3/gan2_curves.png"),
-                 ("saved/syn_rimes_gan2",
-                  "docs/samples/r3/rimes_gan2_curves.png")]:
+for run, png in [("saved/syn_gan3", "docs/samples/r3/gan3_curves.png"),
+                 ("saved/syn_rimes_gan3",
+                  "docs/samples/r3/rimes_gan3_curves.png")]:
     path = os.path.join(run, "train_log.json")
     if not os.path.exists(path):
         print("skip", path)
@@ -51,7 +51,7 @@ for run, png in [("saved/syn_gan2", "docs/samples/r3/gan2_curves.png"),
     print("curves ->", png)
 EOF
 
-for run in syn_gan2 syn_rimes_gan2; do
+for run in syn_gan3 syn_rimes_gan3; do
   d=saved/$run/samples
   [ -d "$d" ] || continue
   g=$(ls -t "$d" | grep gen.png | head -1)

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 IAM-charset drive (v3): the "hard" synthetic corpus
+# Round-3 RIMES-charset drive (v3): the "hard" synthetic corpus
 # (data/synthetic.py render_line_hard — allographs, curved strokes,
 # baseline wobble, elastic warp, ink/brightness/noise; disjoint val
 # authors).  Rationale: the v2 reader saturated at val CER 0.000
@@ -29,5 +29,16 @@ stage() {  # name, config, attempts
 
 stage syn_rimes_hwr3 configs/syn_rimes_hwr3.json 3
 stage syn_rimes_auto3 configs/syn_rimes_auto3.json 3
+# Frozen reader + no train-time augmentation make every line's forced
+# alignment a constant: precompute the spaced_loc cache once (the
+# reference's precomputed-bank workflow, author_hw_dataset.py:283-290) so
+# the 175k GAN iterations skip the in-step Viterbi scan.
+if [ ! -f saved/syn_rimes_spaced3.npz ]; then
+  echo "[rimes3] precomputing spaced_loc cache" >> saved/pipeline.log
+  python scripts/precompute_spaced.py configs/syn_rimes_gan3.json \
+      saved/syn_rimes_spaced3.npz >> saved/syn_rimes_gan3.log 2>&1 \
+    || { echo "[rimes3] spaced precompute FAILED" >> saved/pipeline.log;
+         exit 1; }
+fi
 stage syn_rimes_gan3 configs/syn_rimes_gan3.json 24
 echo "[rimes3] done" >> saved/pipeline.log

@@ -299,3 +299,63 @@ def test_u8_transfer_roundtrip_exact():
     fgb = fg > 0.5
     np.testing.assert_array_equal(
         np.asarray(fg_to_float(jnp.asarray(fgb))), fg)
+
+
+def test_side_caches_spaced_and_style(tmp_path):
+    """Precomputed-bank workflow (author_hw_dataset.py:255-290): spaced_loc
+    rows ride the batch as spaced_label; style_loc attaches a random
+    same-author style excluding entries computed from the line itself."""
+    import numpy as np
+
+    from handwriting_line_generation_tpu.config import DataConfig
+    from handwriting_line_generation_tpu.data.datasets import make_batcher
+
+    cfg = DataConfig(dataset="synthetic", batch_size=2, a_batch_size=2,
+                     width_buckets=(192,), label_buckets=(12,),
+                     augmentation=None, synthetic_authors=3,
+                     synthetic_lines=4)
+    base = make_batcher(cfg, "train")
+    # build caches keyed by the records' stable rids
+    spaced = {}
+    style_rows, style_authors, style_ids = [], [], []
+    for g, recs in enumerate(base.groups):
+        for r in recs:
+            spaced[r.rid] = np.arange(5, dtype=np.int32) % 3
+        style_rows.append(np.full(8, g, np.float32))
+        style_authors.append(recs[0].author)
+        style_ids.append(";".join(r.rid for r in recs))
+    np.savez(tmp_path / "spaced.npz", **spaced)
+    np.savez(tmp_path / "styles.npz", styles=np.stack(style_rows),
+             authors=np.array(style_authors), ids=np.array(style_ids))
+
+    cfg2 = DataConfig(dataset="synthetic", batch_size=2, a_batch_size=2,
+                      width_buckets=(192,), label_buckets=(12,),
+                      augmentation=None, synthetic_authors=3,
+                      synthetic_lines=4,
+                      spaced_loc=str(tmp_path / "spaced.npz"),
+                      style_loc=str(tmp_path / "styles.npz"))
+    b = next(make_batcher(cfg2, "train").batches(
+        np.random.default_rng(0), shuffle=False))
+    assert b["spaced_label"].shape == (4, 192 // 4)
+    np.testing.assert_array_equal(b["spaced_label"][0, :5],
+                                  np.arange(5) % 3)
+    assert (b["spaced_label"][:, 5:] == 0).all()
+    assert b["style"].shape == (4, 8)
+    # exclusion: a line never receives the style computed from its own
+    # group (each author has exactly 2 groups here, so the style value
+    # must be the OTHER group's index)
+    by_gidx = {}
+    for g, recs in enumerate(base.groups):
+        for r in recs:
+            by_gidx[r.rid] = g
+    for i, rid in enumerate(b["rid"]):
+        assert b["style"][i, 0] != by_gidx[rid]
+
+    # identity_spaced: the label sequence itself is the alignment
+    cfg3 = DataConfig(dataset="synthetic", batch_size=2, a_batch_size=2,
+                      width_buckets=(192,), label_buckets=(12,),
+                      augmentation=None, synthetic_authors=3,
+                      synthetic_lines=4, identity_spaced=True)
+    b3 = next(make_batcher(cfg3, "train").batches(
+        np.random.default_rng(0), shuffle=False))
+    np.testing.assert_array_equal(b3["spaced_label"], b3["label"])

@@ -633,3 +633,62 @@ def test_gan_vae_style_full_cycle_cpu():
             assert np.isfinite(float(v)), (i, k)
     assert "klLoss" in outs and float(outs["klLoss"]) > 0.0
     assert int(tr.state.bank_count) > 0
+
+
+@pytest.mark.slow
+def test_spaced_loc_cache_drives_training(monkeypatch, tmp_path):
+    """A spaced_loc cache precomputed by the evaluator replaces in-step
+    Viterbi (the reference's cached spaced_label path,
+    author_hw_dataset.py:283-290 + trainer:526-530): the count lesson and
+    the model's autoencode consume batch['spaced_label'] verbatim — proven
+    by poisoning ``viterbi_align`` so any fallback trace raises."""
+    import os
+
+    cfg = _tiny_gan_cfg()
+    cfg.data.synthetic_authors = 3        # keep the eval pass tiny — the
+    cfg.data.synthetic_lines = 4          # point is plumbing, not scale
+    tr = GanTrainer(cfg)
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    tr.state = tr.init_state(next(it))
+
+    # precompute: the evaluator's save_spaced side channel (rid-keyed npz)
+    from handwriting_line_generation_tpu.data.datasets import get_charset
+    from handwriting_line_generation_tpu.inference.eval import Evaluator
+    ev = Evaluator(tr.model, tr.state.params, get_charset(cfg.data))
+    ev.run(make_batcher(cfg.data, "train"), max_batches=10 ** 9,
+           out_dir=str(tmp_path), save_spaced=True)
+    cache = os.path.join(str(tmp_path), "spaced.npz")
+    assert os.path.exists(cache)
+
+    cfg.data.spaced_loc = cache
+    b = next(forever(make_batcher(cfg.data, "train"), seed=0))
+    assert "spaced_label" in b
+
+    # poison the aligner: with the cache riding the batch it must never be
+    # traced again, in the trainer step or inside autoencode
+    def _poisoned(*a, **k):
+        raise AssertionError("viterbi_align traced despite spaced_loc cache")
+    import handwriting_line_generation_tpu.models.hw_with_style as hws
+    import handwriting_line_generation_tpu.training.gan_trainer as gt
+    monkeypatch.setattr(gt, "viterbi_align", _poisoned)
+    monkeypatch.setattr(hws, "viterbi_align", _poisoned)
+
+    out = tr.run_lesson(["count"], forever(
+        make_batcher(cfg.data, "train"), seed=1))
+    for k, v in out.items():
+        assert np.isfinite(float(np.asarray(v).sum())), k
+
+    # model level: a provided alignment is consumed verbatim (the auto
+    # lessons hand the cache to autoencode the same way)
+    from handwriting_line_generation_tpu.ops.augment import dequantize_image
+    spaced = jnp.asarray(b["spaced_label"])
+    image = dequantize_image(jnp.asarray(b["image"]),
+                             jnp.asarray(b["width"]))
+    recon, aux = tr.model.apply(
+        {"params": tr.state.params}, image, jnp.asarray(b["label"]),
+        jnp.asarray(b["label_lengths"]), b["a_batch_size"],
+        method="autoencode", spaced_label=spaced,
+        rngs={"noise": jax.random.PRNGKey(3)})
+    np.testing.assert_array_equal(np.asarray(aux["spaced_label"]),
+                                  np.asarray(spaced))
+    assert np.isfinite(np.asarray(recon)).all()
