@@ -10,7 +10,7 @@ per-step Viterbi scan from the count and auto lessons — the serial
 
 Usage: python scripts/precompute_spaced.py CONFIG OUT.npz [SPLITS]
 
-``SPLITS`` defaults to ``train,val`` — the batcher attaches cache rows on
+``SPLITS`` defaults to ``train,valid`` — the batcher attaches cache rows on
 every split it serves, so the validation records need rows too.  Loads the
 config's pretrained HWR + encoder weights exactly like GAN training
 startup, runs the evaluator's ``save_spaced`` side channel over each
@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(config_path: str, out_path: str,
-         splits: str = "train,val") -> None:
+         splits: str = "train,valid") -> None:
     import numpy as np
 
     from handwriting_line_generation_tpu.config import load_config
