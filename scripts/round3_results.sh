@@ -9,6 +9,10 @@ mkdir -p docs/samples/r3 /tmp/r3
 echo "== bench =="
 timeout 1200 python bench.py | tee /tmp/r3/bench.json
 
+echo "== training MFU (default vs cached-alignment production path) =="
+timeout 1800 python scripts/mfu_report.py | tee /tmp/r3/mfu.json
+timeout 1800 python scripts/mfu_report.py --spaced-cache | tee /tmp/r3/mfu_cached.json
+
 run_quality() {  # cfg, run_dir, ckpt, texts, out_json, [render_dir]
   local cfg=$1 run=$2 ckpt=$3 texts=$4 out=$5 render=${6:-}
   [ -f "$run/$ckpt.msgpack" ] || [ -f "$run/$ckpt" ] || \
