@@ -17,6 +17,9 @@ import time
 
 def main():
     import jax
+    from handwriting_line_generation_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -43,7 +43,19 @@ def main():
                     help="nested config override, e.g. -a trainer.iterations=100")
     args = ap.parse_args()
 
+    import sys
+    import time
+
     import numpy as np
+    from handwriting_line_generation_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
+    t0 = time.time()
+
+    def mark(msg):
+        print(f"[evaluate +{time.time() - t0:7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+
     from handwriting_line_generation_tpu.config import (apply_overrides,
                                                     load_config)
     from handwriting_line_generation_tpu.data.datasets import (
@@ -58,7 +70,9 @@ def main():
     trainer = GanTrainer(cfg)
     batcher = make_batcher(cfg.data, args.split)
     first = next(iter(batcher.batches(np.random.default_rng(0))))
+    mark("init_state start")
     template = trainer.init_state(first)
+    mark("init_state done")
     if args.ckpt_name == "checkpoint-latest":
         state = CheckpointManager(args.checkpoint).latest(template)
     else:

@@ -41,6 +41,9 @@ def main():
 
     import cv2
     import numpy as np
+    from handwriting_line_generation_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     from handwriting_line_generation_tpu.config import (apply_overrides,
                                                     load_config)
     from handwriting_line_generation_tpu.data.datasets import get_charset, \
@@ -120,8 +123,9 @@ def main():
             w = max(4, round(img.shape[1] * h / img.shape[0]) // 4 * 4)
             img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
             x = normalize_image(img)[None, :, :, None]
-            s, _ = StyleExtractor(trainer.model, state.params)._extract(
-                jnp.asarray(x), 1)
+            frames = jnp.asarray([max(1, w // 4)], jnp.int32)
+            s, _, _ = StyleExtractor(trainer.model, state.params)._extract(
+                jnp.asarray(x), frames, 1)
             return np.asarray(s)[0]
 
         imgs = session.interpolate(texts[0], style_of(args.from_image),

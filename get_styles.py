@@ -28,6 +28,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from handwriting_line_generation_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     import numpy as np
     from handwriting_line_generation_tpu.config import (apply_overrides,
                                                     load_config)

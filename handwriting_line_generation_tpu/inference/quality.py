@@ -17,11 +17,23 @@ One command -> one JSON dict with the BASELINE.md quality targets:
 
 from __future__ import annotations
 
+import sys
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_T0 = time.time()
+
+
+def _mark(msg: str) -> None:
+    """Stage-timing breadcrumb on stderr — the harness chains several
+    multi-minute device phases, and when a driver timeout kills it the
+    last mark says which phase ate the budget."""
+    print(f"[quality +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 from handwriting_line_generation_tpu.charset import (
     Charset, ctc_greedy_decode_batch,
@@ -87,25 +99,22 @@ class QualityEvaluator:
     def style_metrics(self, batcher, max_batches: Optional[int] = None,
                       with_features: bool = False) -> Dict:
         """Style-space metrics in ONE dataset sweep; with ``with_features``
-        the FID real-feature pass piggybacks on the same batches instead of
-        re-iterating the data pipeline + HWR forward."""
-        ext = StyleExtractor(self.model, self.params)
-        feats: List[np.ndarray] = []
-
-        def grab_features(batch):
-            image = jnp.asarray(batch["image"])
-            frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
-                              image.shape[2] // 4)
-            feats.append(np.asarray(self._feats(self.params, image, frames)))
-
-        data = ext.extract_dataset(
-            batcher, max_batches,
-            on_batch=grab_features if with_features else None)
+        the FID real-feature pass is fused into the extraction dispatch
+        (one compiled executable, one device round-trip per batch)."""
+        ext = StyleExtractor(
+            self.model, self.params,
+            tap=(lambda m, p, im, fr: self._feat_fn(p, im, fr))
+            if with_features else None)
+        _mark(f"style sweep start (max_batches={max_batches})")
+        data = ext.extract_dataset(batcher, max_batches)
+        feats = data.get("tap", [])
+        _mark(f"style sweep done ({len(data['ids'])} groups)")
         out = {}
         out.update({f"style_{k}": v
                     for k, v in inter_intra_distances(data).items()})
         out.update({f"writer_id_{k}": v
                     for k, v in writer_id_retrieval(data).items()})
+        _mark("style metrics computed")
         self._style_bank = np.asarray(data["styles"])
         self._real_feats = (np.concatenate(feats, axis=0) if feats
                             else None)
@@ -131,6 +140,7 @@ class QualityEvaluator:
         preds: List[str] = []
         feats: List[np.ndarray] = []
         dumped = 0
+        _mark(f"gen+readback start ({len(texts)} texts, batch={batch})")
         for s in range(0, len(texts), batch):
             chunk = list(texts[s:s + batch])
             pad = batch - len(chunk)
@@ -165,6 +175,7 @@ class QualityEvaluator:
                         to_uint8(np.asarray(img[b])))
                     dumped += 1
         cer, wer = batch_cer_wer(list(texts), preds)
+        _mark("gen+readback done")
         return {"gen_CER": cer, "gen_WER": wer,
                 "features": (np.concatenate(feats, axis=0)
                              if feats else None),

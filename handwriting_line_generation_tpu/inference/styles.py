@@ -24,9 +24,15 @@ from handwriting_line_generation_tpu.models.hw_with_style import (
 
 
 class StyleExtractor:
-    def __init__(self, model: HWWithStyle, params):
+    def __init__(self, model: HWWithStyle, params, tap=None):
         self.model = model
         self.params = params
+        # ``tap(model, params, image, frames)``: optional extra computation
+        # fused INTO the extraction jit — one compiled executable and one
+        # device dispatch per batch instead of two.  Through a high-latency
+        # device tunnel the dispatch count, not the FLOPs, dominates a
+        # dataset sweep (the quality harness' FID feature pass uses this).
+        self.tap = tap
         self._fns: Dict[int, object] = {}
 
     def _extract(self, image, frames, a_batch: int):
@@ -38,17 +44,22 @@ class StyleExtractor:
         # ones training computed.
         fn = self._fns.get(a_batch)
         if fn is None:
-            fn = jax.jit(
-                lambda p, im, fr, a=a_batch: self.model.apply(
+            def apply(p, im, fr, a=a_batch):
+                style, pred = self.model.apply(
                     {"params": p}, im, a, frame_lengths=fr,
-                    method="extract_style"))
+                    method="extract_style")
+                extra = (self.tap(self.model, p, im, fr)
+                         if self.tap is not None else ())
+                # tuple styles are stored packed [g | spacing | char.flat] —
+                # the generate flows unpack them (the reference pickles raw
+                # tuples, get_styles.py:175-255; a flat matrix keeps npz +
+                # distance-metric consumers uniform).  Identity for
+                # single-style extractors.
+                return pack_style(style), pred, extra
+
+            fn = jax.jit(apply)
             self._fns[a_batch] = fn
-        style, pred = fn(self.params, image, frames)
-        # tuple styles are stored packed [g | spacing | char.flat] — the
-        # generate flows unpack them (the reference pickles raw tuples,
-        # get_styles.py:175-255; a flat matrix keeps npz + distance-metric
-        # consumers uniform).  Identity for single-style extractors.
-        return pack_style(style), pred
+        return fn(self.params, image, frames)
 
     def _apply_emb(self, style):
         """Pass raw styles through the generator's style-mapping MLP
@@ -68,10 +79,17 @@ class StyleExtractor:
         ``get_styles.py:175-255``).
 
         ``on_batch(batch)``: optional hook invoked on every consumed batch —
-        lets callers (e.g. the quality harness' FID feature pass) piggyback
-        on this single dataset sweep instead of re-iterating the pipeline.
+        lets callers piggyback host-side work on this single dataset sweep
+        instead of re-iterating the pipeline.  Device-side extras belong in
+        the constructor's ``tap`` (fused into the extraction dispatch);
+        their per-batch outputs come back under ``'tap'``.
+
+        Host syncs are deferred to the end of the sweep: the loop only
+        *dispatches*, so device compute and the next batch's host-side
+        prep/transfer overlap (a sync per batch would serialize every
+        round-trip through the device tunnel).
         """
-        styles, authors, ids = [], [], []
+        styles, authors, ids, taps = [], [], [], []
         rng = np.random.default_rng(0)
         for i, batch in enumerate(batcher.batches(rng, shuffle=False)):
             if max_batches is not None and i >= max_batches:
@@ -82,10 +100,12 @@ class StyleExtractor:
             image = jnp.asarray(batch["image"])
             frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
                               image.shape[2] // 4)
-            style, _ = self._extract(image, frames, a)
+            style, _, extra = self._extract(image, frames, a)
+            if self.tap is not None:
+                taps.append(extra)
             if through_emb:
                 style = self._apply_emb(style)
-            s = np.asarray(style)[::a]                  # one per author group
+            s = style[::a]                              # one per author group
             styles.append(s)
             authors.extend(batch["author"][::a])
             # per-group id = ";"-joined member record ids, so the dataset's
@@ -97,8 +117,11 @@ class StyleExtractor:
                     ids.append(";".join(rids[j:j + a]))
                 else:
                     ids.append(f"{batch['author'][j]}_{i}_{j}")
-        return {"styles": np.concatenate(styles, axis=0),
-                "authors": authors, "ids": ids}
+        out = {"styles": np.asarray(jnp.concatenate(styles, axis=0)),
+               "authors": authors, "ids": ids}
+        if self.tap is not None:
+            out["tap"] = [np.asarray(t) for t in taps]
+        return out
 
 
 def save_styles(path: str, data: Dict) -> None:

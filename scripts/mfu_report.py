@@ -35,6 +35,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from handwriting_line_generation_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     import numpy as np
 
     from handwriting_line_generation_tpu.config import load_config

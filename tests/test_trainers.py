@@ -409,8 +409,8 @@ def test_style_extractor_jit_keyed_by_a_batch():
     img = jnp.asarray(batch["image"])
     frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
                       img.shape[2] // 4)
-    s2, _ = ex._extract(img, frames, 2)   # groups of 2: 2 distinct styles
-    s1, _ = ex._extract(img, frames, 1)   # groups of 1: 4 distinct styles
+    s2, _, _ = ex._extract(img, frames, 2)  # groups of 2: 2 distinct styles
+    s1, _, _ = ex._extract(img, frames, 1)  # groups of 1: 4 distinct styles
     assert len(ex._fns) == 2
     s2np, s1np = np.asarray(s2), np.asarray(s1)
     np.testing.assert_allclose(s2np[0], s2np[1], rtol=1e-5)  # same group

@@ -92,6 +92,15 @@ def main():
               f"{n}x{m} data x model mesh"
               + (" (fsdp params)" if m > 1 else ""), flush=True)
 
+    # persistent XLA compile cache: the RSS-leak soft-resume loops restart
+    # this process many times per run; warm restarts skip the multi-minute
+    # GAN-step recompiles (same HLO -> cache hit).  After the distributed
+    # block — enabling it queries the backend, which must not initialize
+    # before jax.distributed.initialize().
+    from handwriting_line_generation_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
+
     kind = cfg.trainer.kind
     if kind == "hwr":
         from handwriting_line_generation_tpu.training.hwr_trainer import \
