@@ -43,18 +43,27 @@ def main():
                     help="nested config override, e.g. -a trainer.iterations=100")
     args = ap.parse_args()
 
+    import faulthandler
+    import signal
     import sys
     import time
 
-    import numpy as np
-    from handwriting_line_generation_tpu.utils.compile_cache import (
-        enable_compile_cache)
-    enable_compile_cache()
+    # a driver/pipeline timeout kills this process with SIGTERM; dump every
+    # thread's stack on the way out so a hang says WHERE it hung (the round-3
+    # measurement pass lost a 40-minute budget to an undiagnosed pre-init
+    # hang with zero output)
+    faulthandler.register(signal.SIGTERM, chain=True)
     t0 = time.time()
 
     def mark(msg):
         print(f"[evaluate +{time.time() - t0:7.1f}s] {msg}", file=sys.stderr,
               flush=True)
+
+    import numpy as np
+    from handwriting_line_generation_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
+    mark("imports + compile cache ready")
 
     from handwriting_line_generation_tpu.config import (apply_overrides,
                                                     load_config)
@@ -67,7 +76,9 @@ def main():
 
     cfg = load_config(args.config)
     apply_overrides(cfg, args.override)
+    mark("config loaded")
     trainer = GanTrainer(cfg)
+    mark("trainer built")
     batcher = make_batcher(cfg.data, args.split)
     first = next(iter(batcher.batches(np.random.default_rng(0))))
     mark("init_state start")

@@ -204,7 +204,12 @@ class DataConfig:
     # precomputed side caches (author_hw_dataset.py:255-290):
     spaced_loc: Optional[str] = None    # npz of rid -> spaced class row
     style_loc: Optional[str] = None     # npz/glob of {styles,authors[,ids]}
-    identity_spaced: bool = False       # no_spacing_for_spaced
+    # no_spacing_for_spaced: the label itself is the alignment (one frame
+    # per char, no blanks).  CONSTRAINT: the generator renders alignments at
+    # 4 px/frame, so auto-lesson reconstructions are 4*label_len wide —
+    # combine with auto lessons only when that equals the image width
+    # bucket (the trainer guards this); count lessons are always safe.
+    identity_spaced: bool = False
     synthetic_version: int = 2       # 3 = "hard" renderer (allographs,
                                      # curved strokes, wobble, elastic warp,
                                      # ink/brightness/noise; disjoint val
@@ -261,6 +266,12 @@ class TrainerConfig:
     swa_c_iters: int = 1
     monitor: Optional[str] = "val_gen_CER"
     monitor_mode: str = "min"       # min | max
+    # Draw disc-lesson generation styles from the data.style_loc precomputed
+    # bank (batch["style"], id-exclusion applied by SideCaches) instead of
+    # the live interpolation bank.  The reference builds instance['style']
+    # in its collate (author_hw_dataset.py:557-577) but its trainer never
+    # reads it; here the bank is an actually-consumable training input.
+    use_style_cache: bool = False
 
 
 @dataclass

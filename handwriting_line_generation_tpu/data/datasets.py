@@ -239,12 +239,19 @@ class SideCaches:
     def __init__(self, cfg: DataConfig):
         self.spaced = None
         self.styles = None
+        self._leaky_authors: set = set()
         if cfg.spaced_loc:
             self.spaced = np.load(cfg.spaced_loc, allow_pickle=False)
         self.identity_spaced = cfg.identity_spaced
         if cfg.style_loc:
             import glob as _glob
-            paths = sorted(_glob.glob(cfg.style_loc)) or [cfg.style_loc]
+            paths = sorted(_glob.glob(cfg.style_loc))
+            if not paths and not cfg.style_loc.endswith("*"):
+                # the reference appends '*' to non-glob style_loc paths
+                # before globbing (author_hw_dataset.py:258-262) — a prefix
+                # path must match its shard files, not be np.load'ed itself
+                paths = sorted(_glob.glob(cfg.style_loc + "*"))
+            paths = paths or [cfg.style_loc]
             by_author: Dict[str, List] = defaultdict(list)
             for p in paths:
                 d = np.load(p, allow_pickle=True)
@@ -279,8 +286,23 @@ class SideCaches:
                 if not cand:
                     raise KeyError(f"style_loc bank has no styles for "
                                    f"author {r.author!r}")
-                ok = [s for s, ids in cand if r.rid not in ids] or \
-                     [s for s, _ in cand]
+                ok = [s for s, ids in cand if r.rid not in ids]
+                if not ok:
+                    # the reference *asserts* exclusion-viable banks
+                    # (author_hw_dataset.py:265-279); we degrade to the full
+                    # candidate set but loudly — silent identity leakage into
+                    # style conditioning would skew every downstream metric
+                    if r.author not in self._leaky_authors:
+                        self._leaky_authors.add(r.author)
+                        import warnings
+                        warnings.warn(
+                            f"style_loc: every bank row for author "
+                            f"{r.author!r} was computed from a group "
+                            f"containing record {r.rid!r}; falling back to "
+                            f"ALL rows — identity may leak into style "
+                            f"conditioning (rebuild the bank with more "
+                            f"groups per author)", RuntimeWarning)
+                    ok = [s for s, _ in cand]
                 rows.append(ok[int(rng.integers(len(ok)))])
             batch["style"] = np.stack(rows).astype(np.float32)
 

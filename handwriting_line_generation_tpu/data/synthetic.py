@@ -166,6 +166,31 @@ def _elastic_warp(img: np.ndarray, rng: np.random.Generator,
                      borderMode=cv2.BORDER_CONSTANT, borderValue=255)
 
 
+def degrade_image(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """The v3 post-render degradation stack: elastic warp + Tensmeyer-ish
+    fg/bg brightness shifts + Gaussian blur + sensor noise (strengths from
+    the reference augmentations, ``utils/grid_distortion.py:11-66`` and
+    ``utils/augmentation.py:5-31``).
+
+    Factored out of :func:`render_line_hard` (identical RNG consumption
+    order, so memoized renders are unchanged) so the quality harness can
+    apply the SAME degradation domain to generator output before reading it
+    back — real v3 lines carry these post-ops while raw generated lines do
+    not, which otherwise makes gen-CER land *below* real-line CER.
+    """
+    img = _elastic_warp(img, rng)
+    f = img.astype(np.float32)
+    fg_shift = rng.normal(0, 18)         # Tensmeyer-ish fg/bg shifts
+    bg_shift = rng.normal(0, 8)
+    w = np.clip((f - 100.0) / 110.0, 0.0, 1.0)   # 1 at paper, 0 at ink
+    f = f + fg_shift * (1 - w) + bg_shift * w
+    sigma = float(rng.uniform(0.0, 0.9))
+    if sigma > 0.05:
+        f = cv2.GaussianBlur(f, (0, 0), sigma)
+    f = f + rng.normal(0, rng.uniform(0.0, 5.0), f.shape)
+    return np.clip(f, 0, 255).astype(np.uint8)
+
+
 def render_line_hard(text: str, charset: Charset, author_id: int = 0,
                      img_height: int = 64, seed: int = 0,
                      max_width: Optional[int] = None) -> np.ndarray:
@@ -214,17 +239,7 @@ def render_line_hard(text: str, charset: Charset, author_id: int = 0,
             cv2.polylines(img, [pts], False, ink, th, lineType=cv2.LINE_AA)
         x += adv
     # post-render: elastic warp + brightness + blur + noise
-    img = _elastic_warp(img, rng)
-    f = img.astype(np.float32)
-    fg_shift = rng.normal(0, 18)         # Tensmeyer-ish fg/bg shifts
-    bg_shift = rng.normal(0, 8)
-    w = np.clip((f - 100.0) / 110.0, 0.0, 1.0)   # 1 at paper, 0 at ink
-    f = f + fg_shift * (1 - w) + bg_shift * w
-    sigma = float(rng.uniform(0.0, 0.9))
-    if sigma > 0.05:
-        f = cv2.GaussianBlur(f, (0, 0), sigma)
-    f = f + rng.normal(0, rng.uniform(0.0, 5.0), f.shape)
-    img = np.clip(f, 0, 255).astype(np.uint8)
+    img = degrade_image(img, rng)
     if max_width is not None and img.shape[1] > max_width:
         img = img[:, :max_width]
     return img

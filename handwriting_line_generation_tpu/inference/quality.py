@@ -97,16 +97,28 @@ class QualityEvaluator:
     # -- pieces ----------------------------------------------------------
 
     def style_metrics(self, batcher, max_batches: Optional[int] = None,
-                      with_features: bool = False) -> Dict:
+                      with_features: bool = False,
+                      with_real_cer: bool = True) -> Dict:
         """Style-space metrics in ONE dataset sweep; with ``with_features``
         the FID real-feature pass is fused into the extraction dispatch
-        (one compiled executable, one device round-trip per batch)."""
+        (one compiled executable, one device round-trip per batch).
+
+        ``with_real_cer`` decodes the recognizer log-probs the sweep already
+        computes and scores them against the real lines' transcriptions —
+        the *same* frozen reader + greedy-decode protocol ``generate_and_read``
+        applies to generated lines, so ``gen_CER - real_CER`` (the realism
+        gap) compares like with like.
+        """
         ext = StyleExtractor(
             self.model, self.params,
             tap=(lambda m, p, im, fr: self._feat_fn(p, im, fr))
             if with_features else None)
+        gts: List[str] = []
         _mark(f"style sweep start (max_batches={max_batches})")
-        data = ext.extract_dataset(batcher, max_batches)
+        data = ext.extract_dataset(
+            batcher, max_batches, with_pred=with_real_cer,
+            on_batch=(lambda b: gts.extend(b["gt"])) if with_real_cer
+            else None)
         feats = data.get("tap", [])
         _mark(f"style sweep done ({len(data['ids'])} groups)")
         out = {}
@@ -114,6 +126,12 @@ class QualityEvaluator:
                     for k, v in inter_intra_distances(data).items()})
         out.update({f"writer_id_{k}": v
                     for k, v in writer_id_retrieval(data).items()})
+        if with_real_cer:
+            preds: List[str] = []
+            for logp in data["pred"]:
+                preds.extend(ctc_greedy_decode_batch(logp, self.charset))
+            cer, wer = batch_cer_wer(gts, preds)
+            out["real_CER"], out["real_WER"] = cer, wer
         _mark("style metrics computed")
         self._style_bank = np.asarray(data["styles"])
         self._real_feats = (np.concatenate(feats, axis=0) if feats
@@ -123,9 +141,17 @@ class QualityEvaluator:
     def generate_and_read(self, texts: Sequence[str], bank: np.ndarray,
                           batch: int = 32,
                           mix_range=(-0.5, 1.5),
-                          out_dir: Optional[str] = None) -> Dict:
+                          out_dir: Optional[str] = None,
+                          degrade: bool = False) -> Dict:
         """Render ``texts`` with interpolated bank styles; frozen HWR reads
-        them back.  Returns gen-CER/WER, generated features, and preds."""
+        them back.  Returns gen-CER/WER, generated features, and preds.
+
+        ``degrade``: additionally read back a copy run through the v3
+        post-render degradation stack (:func:`data.synthetic.degrade_image`
+        — elastic warp / brightness / blur / noise).  Real v3 lines carry
+        those post-ops and raw generator output does not, so the *degraded*
+        readback is the matched-domain comparison against ``real_CER``.
+        """
         if not len(texts):
             raise ValueError(
                 "generate_and_read: no texts to render — pass --texts, set "
@@ -138,6 +164,7 @@ class QualityEvaluator:
         rng = np.random.default_rng(self.seed)
         label_len = max(max(len(t) for t in texts), 1)
         preds: List[str] = []
+        preds_deg: List[str] = []
         feats: List[np.ndarray] = []
         dumped = 0
         _mark(f"gen+readback start ({len(texts)} texts, batch={batch})")
@@ -154,6 +181,22 @@ class QualityEvaluator:
             frames = jnp.full((batch,), image.shape[2] // 4, jnp.int32)
             logp = self._recog(self.params, image, frames)
             p = ctc_greedy_decode_batch(np.asarray(logp), self.charset)
+            if degrade:
+                from handwriting_line_generation_tpu.data.datasets import (
+                    quantize_image_u8,
+                )
+                from handwriting_line_generation_tpu.data.synthetic import (
+                    degrade_image, normalize_image,
+                )
+                deg = np.stack([
+                    normalize_image(degrade_image(
+                        quantize_image_u8(np.asarray(img[b, ..., 0])),
+                        np.random.default_rng(self.seed + s * batch + b)))
+                    for b in range(batch)])[..., None]
+                logp_d = self._recog(self.params, jnp.asarray(deg), frames)
+                pd = ctc_greedy_decode_batch(np.asarray(logp_d),
+                                             self.charset)
+                preds_deg.extend(pd[:batch - pad] if pad else pd)
             if self.has_features:
                 feats.append(np.asarray(
                     self._feats(self.params, image, frames)))
@@ -176,23 +219,42 @@ class QualityEvaluator:
                     dumped += 1
         cer, wer = batch_cer_wer(list(texts), preds)
         _mark("gen+readback done")
-        return {"gen_CER": cer, "gen_WER": wer,
-                "features": (np.concatenate(feats, axis=0)
-                             if feats else None),
-                "preds": preds}
+        out = {"gen_CER": cer, "gen_WER": wer,
+               "features": (np.concatenate(feats, axis=0)
+                            if feats else None),
+               "preds": preds}
+        if degrade:
+            cer_d, wer_d = batch_cer_wer(list(texts), preds_deg)
+            out["gen_CER_degraded"] = cer_d
+            out["gen_WER_degraded"] = wer_d
+        return out
 
     # -- the one command -------------------------------------------------
 
     def run(self, batcher, texts: Sequence[str],
             max_batches: Optional[int] = None,
             gen_batch: int = 32,
-            out_dir: Optional[str] = None) -> Dict:
+            out_dir: Optional[str] = None,
+            degrade: bool = True) -> Dict:
+        """Full quality pass.  Headline metrics: **fid_hwr** and
+        **writer_id_top1** (gen-CER saturates once the generator's lines
+        read cleaner than the corpus — VERDICT r3 weak #2 — so CER-family
+        numbers are reported as a *realism gap* against the same-protocol
+        ``real_CER`` instead of as absolute rankings)."""
         out = self.style_metrics(batcher, max_batches,
                                  with_features=self.has_features)
         gen = self.generate_and_read(texts, self._style_bank,
-                                     batch=gen_batch, out_dir=out_dir)
-        out["gen_CER"] = gen["gen_CER"]
-        out["gen_WER"] = gen["gen_WER"]
+                                     batch=gen_batch, out_dir=out_dir,
+                                     degrade=degrade)
+        for k in ("gen_CER", "gen_WER", "gen_CER_degraded",
+                  "gen_WER_degraded"):
+            if k in gen:
+                out[k] = gen[k]
+        if "real_CER" in out:
+            out["realism_gap"] = out["gen_CER"] - out["real_CER"]
+            if "gen_CER_degraded" in out:
+                out["realism_gap_degraded"] = (out["gen_CER_degraded"]
+                                               - out["real_CER"])
         if self.has_features and self._real_feats is not None:
             out["fid_hwr"] = frechet_distance(self._real_feats,
                                               gen["features"])

@@ -73,7 +73,7 @@ class StyleExtractor:
 
     def extract_dataset(self, batcher, max_batches: Optional[int] = None,
                         through_emb: bool = False,
-                        on_batch=None) -> Dict:
+                        on_batch=None, with_pred: bool = False) -> Dict:
         """-> {'styles': [N, D], 'authors': [N], 'ids': [N]} (one entry per
         author group, matching the per-instance loop of
         ``get_styles.py:175-255``).
@@ -84,12 +84,19 @@ class StyleExtractor:
         the constructor's ``tap`` (fused into the extraction dispatch);
         their per-batch outputs come back under ``'tap'``.
 
+        ``with_pred``: also return the per-batch recognizer log-probs under
+        ``'pred'`` (list of [B, T, C] arrays, frame-masked to blank past each
+        line's true ink width).  These are computed inside extraction anyway
+        (``extract_style`` conditions styles on them), so surfacing them adds
+        zero device compute — the quality harness reads real-line CER from
+        them on the same sweep.
+
         Host syncs are deferred to the end of the sweep: the loop only
         *dispatches*, so device compute and the next batch's host-side
         prep/transfer overlap (a sync per batch would serialize every
         round-trip through the device tunnel).
         """
-        styles, authors, ids, taps = [], [], [], []
+        styles, authors, ids, taps, preds = [], [], [], [], []
         rng = np.random.default_rng(0)
         for i, batch in enumerate(batcher.batches(rng, shuffle=False)):
             if max_batches is not None and i >= max_batches:
@@ -100,7 +107,9 @@ class StyleExtractor:
             image = jnp.asarray(batch["image"])
             frames = jnp.clip((jnp.asarray(batch["width"]) + 3) // 4, 1,
                               image.shape[2] // 4)
-            style, _, extra = self._extract(image, frames, a)
+            style, pred, extra = self._extract(image, frames, a)
+            if with_pred:
+                preds.append(pred)
             if self.tap is not None:
                 taps.append(extra)
             if through_emb:
@@ -121,6 +130,8 @@ class StyleExtractor:
                "authors": authors, "ids": ids}
         if self.tap is not None:
             out["tap"] = [np.asarray(t) for t in taps]
+        if with_pred:
+            out["pred"] = [np.asarray(p) for p in preds]
         return out
 
 

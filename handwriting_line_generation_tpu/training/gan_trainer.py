@@ -535,23 +535,29 @@ class GanTrainer:
 
     @partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
     def step_disc(self, state: GanTrainState, image, label, lens,
-                  width=None, a_batch: int = 1
+                  width=None, a_batch: int = 1, style_gen=None
                   ) -> Tuple[GanTrainState, Dict]:
         """Lesson ["disc"]: hinge on real vs generated (trainer:788-806).
 
         ``a_batch``: author-group size for the cond head's real-branch
         style extraction — must match the group-averaged styles the recon
         and fake branches condition on, or the head can separate real from
-        fake by conditioning statistics alone."""
+        fake by conditioning statistics alone.
+
+        ``style_gen``: optional packed styles for the fake branch — the
+        ``data.style_loc`` precomputed bank rows the batcher attached
+        (``trainer.use_style_cache``); defaults to sampling the live
+        interpolation bank."""
         rng, aug_key, krng, nrng, srng = jax.random.split(state.rng, 5)
         image = dequantize_image(image, width)
         image, _, _ = apply_augmentation(self.cfg.data.augmentation, image,
                                          None, aug_key)
         B = label.shape[0]
         spaced_len = image.shape[2] // 4
-        style_gen = bank_sample(state.style_bank, state.bank_count, srng,
-                                B, self.interp_low, self.interp_high,
-                                self.cfg.model.packed_style_dim())
+        if style_gen is None:
+            style_gen = bank_sample(state.style_bank, state.bank_count, srng,
+                                    B, self.interp_low, self.interp_high,
+                                    self.cfg.model.packed_style_dim())
         fake, _ = self._gen_image(state.params, state.spectral, label, lens,
                                   style_gen, krng, nrng, spaced_len)
         fake = jax.lax.stop_gradient(fake)
@@ -874,6 +880,18 @@ class GanTrainer:
         # spaced_label (trainer:526-530)
         spaced = batch.get("spaced_label")
         if spaced is not None:
+            if (self.cfg.data.identity_spaced and "auto" in lesson
+                    and 4 * batch["label"].shape[1]
+                    != batch["image"].shape[2]):
+                # identity alignments drive the generator at 4 px/char, so
+                # the reconstruction would be 4*label_len wide while the L1
+                # target is the image-width bucket — a latent shape crash
+                raise ValueError(
+                    "identity_spaced + auto lesson needs 4*label_len == "
+                    f"image width (got 4*{batch['label'].shape[1]} vs "
+                    f"{batch['image'].shape[2]}); use spaced_loc for auto "
+                    "lessons or align data.label_buckets*4 with "
+                    "data.width_buckets")
             spaced = place(jnp.asarray(spaced))
         if "count" in lesson:
             self.state, out = self.step_count(self.state, image, label,
@@ -901,8 +919,17 @@ class GanTrainer:
                 # keep the device array; _train_cer converts at log time
                 self._last_pred = (pred_am, list(batch["gt"]))
         elif "disc" in lesson:
+            style_row = batch.get("style")
+            style_gen = None
+            if self.cfg.trainer.use_style_cache:
+                if style_row is None:
+                    raise ValueError(
+                        "trainer.use_style_cache is on but the batch has no "
+                        "'style' rows — set data.style_loc to a precomputed "
+                        "style bank (get_styles.py output)")
+                style_gen = place(jnp.asarray(style_row, np.float32))
             self.state, out = self.step_disc(self.state, image, label, lens,
-                                             width, a_batch)
+                                             width, a_batch, style_gen)
         else:
             raise ValueError(f"no step for lesson {lesson}")
         return out

@@ -46,6 +46,21 @@ def main(config_path: str, out_path: str,
     ev = None
     for split in splits.split(","):
         batcher = make_batcher(cfg.data, split)
+        # both batchers drop the tail that doesn't fill a batch
+        # (range stop = len - batch_size + 1); the dump must cover EVERY
+        # record (shuffled training epochs rotate which records land in the
+        # tail), so pad the group/record list to a batch_size multiple by
+        # cycling from the front — duplicate rids just overwrite their row
+        def _pad(items, bs):
+            short = (-len(items)) % bs
+            if short and items:
+                reps = -(-short // len(items))
+                items = list(items) + (list(items) * reps)[:short]
+            return items
+        if hasattr(batcher, "groups"):
+            batcher.groups = _pad(batcher.groups, batcher.batch_size)
+        else:
+            batcher.records = _pad(batcher.records, batcher.batch_size)
         if state is None:
             state = trainer.init_state(next(forever(batcher, seed=0)))
             ev = Evaluator(trainer.model, state.params,

@@ -359,3 +359,58 @@ def test_side_caches_spaced_and_style(tmp_path):
     b3 = next(make_batcher(cfg3, "train").batches(
         np.random.default_rng(0), shuffle=False))
     np.testing.assert_array_equal(b3["spaced_label"], b3["label"])
+
+
+def test_style_loc_exclusion_exhausted_warns(tmp_path):
+    """When every bank row for an author was computed from a group holding
+    the line itself, the fallback to ALL rows must be loud (the reference
+    asserts exclusion-viable banks, author_hw_dataset.py:265-279)."""
+    import warnings
+
+    import numpy as np
+
+    from handwriting_line_generation_tpu.config import DataConfig
+    from handwriting_line_generation_tpu.data.datasets import make_batcher
+
+    cfg = DataConfig(dataset="synthetic", batch_size=2, a_batch_size=2,
+                     width_buckets=(192,), label_buckets=(12,),
+                     augmentation=None, synthetic_authors=3,
+                     synthetic_lines=4)
+    base = make_batcher(cfg, "train")
+    # ONE bank row per author, covering every rid of that author -> the
+    # exclusion set is empty for every line
+    rows, authors, ids = [], [], []
+    by_author = {}
+    for recs in base.groups:
+        by_author.setdefault(recs[0].author, set()).update(
+            r.rid for r in recs)
+    for a, rids in sorted(by_author.items()):
+        rows.append(np.zeros(8, np.float32))
+        authors.append(a)
+        ids.append(";".join(sorted(rids)))
+    np.savez(tmp_path / "styles.npz", styles=np.stack(rows),
+             authors=np.array(authors), ids=np.array(ids))
+    cfg.style_loc = str(tmp_path / "styles.npz")
+    batcher = make_batcher(cfg, "train")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        next(batcher.batches(np.random.default_rng(0), shuffle=False))
+    assert any("identity may leak" in str(x.message) for x in w)
+
+
+def test_style_loc_prefix_path_globs_like_reference(tmp_path):
+    """A non-glob style_loc PREFIX must glob to its shard files (the
+    reference appends '*' before globbing, author_hw_dataset.py:258-262)
+    instead of np.load-ing the prefix itself."""
+    import numpy as np
+
+    from handwriting_line_generation_tpu.config import DataConfig
+    from handwriting_line_generation_tpu.data.datasets import SideCaches
+
+    for shard in ("a", "b"):
+        np.savez(tmp_path / f"bank_{shard}.npz",
+                 styles=np.zeros((2, 8), np.float32),
+                 authors=np.array([f"{shard}0", f"{shard}1"]),
+                 ids=np.array(["x", "y"]))
+    caches = SideCaches(DataConfig(style_loc=str(tmp_path / "bank_")))
+    assert set(caches.styles) == {"a0", "a1", "b0", "b1"}

@@ -200,8 +200,15 @@ def test_quality_eval_and_gen_dump(tmp_path):
     out = qe.run(make_batcher(cfg.data, "train"), ["ab cd", "efg"],
                  max_batches=2, gen_batch=2, out_dir=str(tmp_path / "q"))
     for key in ("gen_CER", "gen_WER", "writer_id_top1", "style_intra_mean",
-                "style_inter_mean", "fid_hwr"):
+                "style_inter_mean", "fid_hwr",
+                # realism-gap protocol (VERDICT r3 #3): real lines read by
+                # the SAME frozen reader + greedy decode, plus a
+                # matched-domain readback of v3-degraded generated lines
+                "real_CER", "real_WER", "realism_gap",
+                "gen_CER_degraded", "realism_gap_degraded"):
         assert key in out and np.isfinite(out[key]), key
+    assert out["realism_gap"] == pytest.approx(
+        out["gen_CER"] - out["real_CER"])
     assert (tmp_path / "q" / "gen_000.png").exists()
     # identical feature sets -> FID 0
     f = np.random.default_rng(0).normal(size=(64, 8))
@@ -694,3 +701,58 @@ def test_spaced_loc_cache_drives_training(monkeypatch, tmp_path):
     np.testing.assert_array_equal(np.asarray(aux["spaced_label"]),
                                   np.asarray(spaced))
     assert np.isfinite(np.asarray(recon)).all()
+
+
+@pytest.mark.slow
+def test_style_loc_cache_drives_disc_training(tmp_path):
+    """trainer.use_style_cache: disc lessons condition the fake branch on
+    the batch's precomputed ``style_loc`` rows instead of the live
+    interpolation bank — proven by poisoning the bank rows with NaN (loss
+    goes NaN only when the cache is consumed).  The reference builds
+    ``instance['style']`` in its collate (author_hw_dataset.py:557-577) but
+    its trainer never reads it; here the bank is a real training input."""
+    import os
+
+    from handwriting_line_generation_tpu.inference.styles import save_styles
+
+    cfg = _tiny_gan_cfg()
+    cfg.data.synthetic_authors = 3
+    cfg.data.synthetic_lines = 4
+    records_authors = [f"synth{a:05d}" for a in (0, 1, 2)]
+    d = cfg.model.packed_style_dim()
+    bank = os.path.join(str(tmp_path), "styles.npz")
+    save_styles(bank, {
+        "styles": np.full((6, d), np.nan, np.float32),
+        "authors": [a for a in records_authors for _ in range(2)],
+        "ids": ["x"] * 6,                      # never matches a rid
+    })
+    cfg.data.style_loc = bank
+    cfg.trainer.use_style_cache = True
+    tr = GanTrainer(cfg)
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    b = next(it)
+    assert "style" in b and b["style"].shape == (4, d)
+    tr.state = tr.init_state(b)
+    out = tr.run_lesson(["disc"], it)
+    assert not np.isfinite(float(out["discriminatorLoss"]))
+
+    # flag off (the default): the same poisoned batches are ignored and the
+    # live bank drives generation — loss stays finite
+    cfg2 = _tiny_gan_cfg()
+    cfg2.data.synthetic_authors = 3
+    cfg2.data.synthetic_lines = 4
+    cfg2.data.style_loc = bank
+    tr2 = GanTrainer(cfg2)
+    it2 = forever(make_batcher(cfg2.data, "train"), seed=0)
+    tr2.state = tr2.init_state(next(it2))
+    out2 = tr2.run_lesson(["disc"], it2)
+    assert np.isfinite(float(out2["discriminatorLoss"]))
+
+    # use_style_cache without a bank is a loud config error
+    cfg3 = _tiny_gan_cfg()
+    cfg3.trainer.use_style_cache = True
+    tr3 = GanTrainer(cfg3)
+    it3 = forever(make_batcher(cfg3.data, "train"), seed=0)
+    tr3.state = tr3.init_state(next(it3))
+    with pytest.raises(ValueError, match="use_style_cache"):
+        tr3.run_lesson(["disc"], it3)
