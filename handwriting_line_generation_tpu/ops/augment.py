@@ -116,13 +116,20 @@ def affine_slant_stretch(img: jnp.ndarray, skew: jnp.ndarray,
 
 
 def grid_warp(img: jnp.ndarray, rng: jax.Array, std: float = 1.5,
-              spacing: int = 12, fill: float = -1.0) -> jnp.ndarray:
-    """Mesh-distortion warp: coarse normal offsets -> dense bilinear flow."""
+              spacing: int = 12, fill: float = -1.0,
+              flow: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mesh-distortion warp: coarse normal offsets -> dense bilinear flow.
+
+    ``flow``: optional precomputed dense ``[B, H, W, 2]`` (dy, dx) source
+    displacements replacing the random mesh — lets the parity suite drive
+    the sampling core with the reference's exact ``cv2.remap`` maps
+    (``grid_distortion.py:58-64``)."""
     B, H, W, _ = img.shape
-    gh = H // spacing + 2
-    gw = W // spacing + 2
-    offs = std * jax.random.normal(rng, (B, gh, gw, 2))
-    flow = jax.image.resize(offs, (B, H, W, 2), method="bilinear")
+    if flow is None:
+        gh = H // spacing + 2
+        gw = W // spacing + 2
+        offs = std * jax.random.normal(rng, (B, gh, gw, 2))
+        flow = jax.image.resize(offs, (B, H, W, 2), method="bilinear")
     ys = jnp.arange(H)[:, None] + flow[:, :, :, 0]
     xs = jnp.arange(W)[None, :] + flow[:, :, :, 1]
 
