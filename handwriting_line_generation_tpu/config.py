@@ -489,14 +489,22 @@ def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
         # dots separate path segments only left of the final '='; the
         # value keeps its dots so floats like lr=0.0001 survive
         path = [p for seg in segs for p in seg.split(".")]
-        try:
-            value = int(value)
-        except ValueError:
+        if value[:1] in ("[", "{"):
+            # list/dict-typed fields (width_buckets, curriculum stages):
+            # the reference's coercion stops at int/float
+            # (new_eval.py:94-103); ours must cover the bucketed-shape
+            # fields or an override silently lands as a string and fails
+            # far away (e.g. min() against max_gen_length)
+            value = json.loads(value)
+        else:
             try:
-                value = float(value)
+                value = int(value)
             except ValueError:
-                if value in ("true", "True", "false", "False"):
-                    value = value.lower() == "true"
+                try:
+                    value = float(value)
+                except ValueError:
+                    if value in ("true", "True", "false", "False"):
+                        value = value.lower() == "true"
         node = cfg
         for part in path[:-1]:
             node = getattr(node, part) if not isinstance(node, dict) \

@@ -85,6 +85,17 @@ def test_apply_overrides_float_and_nested():
     assert cfg.trainer.val_step == 7
 
 
+def test_apply_overrides_json_lists():
+    # list-typed fields (bucketed shapes) must coerce via JSON, not land
+    # as the literal string "[96]" and fail far away in trainer setup
+    from handwriting_line_generation_tpu.config import apply_overrides
+    cfg = load_config(GAN_CFG)
+    apply_overrides(cfg, ["data.width_buckets=[96,192]",
+                          "data.label_buckets=[6]"])
+    assert list(cfg.data.width_buckets) == [96, 192]
+    assert list(cfg.data.label_buckets) == [6]
+
+
 def test_jax_compute_dtype_validation():
     """Typos must raise, not silently fall back to f32 (a run whose logged
     config says bf16 but computed f32 mislabels every A/B done with it)."""
