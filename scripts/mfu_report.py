@@ -38,6 +38,9 @@ def main():
     from handwriting_line_generation_tpu.utils.compile_cache import (
         enable_compile_cache)
     enable_compile_cache()
+    from handwriting_line_generation_tpu.utils.acquire import (
+        ensure_device_or_reexec)
+    ensure_device_or_reexec()
     import numpy as np
 
     from handwriting_line_generation_tpu.config import load_config

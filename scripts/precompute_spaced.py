@@ -31,6 +31,9 @@ def main(config_path: str, out_path: str,
     import numpy as np
 
     from handwriting_line_generation_tpu.config import load_config
+    from handwriting_line_generation_tpu.utils.acquire import (
+        ensure_device_or_reexec)
+    ensure_device_or_reexec()
     from handwriting_line_generation_tpu.data.datasets import (
         forever, get_charset, make_batcher)
     from handwriting_line_generation_tpu.inference.eval import Evaluator

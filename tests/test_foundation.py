@@ -114,3 +114,43 @@ def test_form_decode_cache(tmp_path):
     a = _imread_gray(p)
     b = _imread_gray(p)
     assert a is b and not a.flags.writeable
+
+
+def test_acquire_watchdog(monkeypatch):
+    """Device-acquisition watchdog (utils/acquire.py): CPU runs no-op, a
+    live probe passes, and a wedged probe re-execs the same argv with the
+    retry counter bumped (the axon tunnel race observed live in round 4)."""
+    import os
+    import time
+
+    from handwriting_line_generation_tpu.utils import acquire
+
+    # pinned to CPU -> no tunnel to race -> immediate True
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert acquire.ensure_device_or_reexec(_probe=lambda: 1 / 0)
+
+    # probe answers within the deadline -> True, no exec
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert acquire.ensure_device_or_reexec(timeout=5.0, _probe=lambda: None)
+
+    # probe wedges -> settle + execv(same argv), ACQ_REEXEC bumped
+    import threading
+    wedge = threading.Event()   # never set: the probe blocks like a wedged
+    calls = {}                  # tunnel acquisition
+    monkeypatch.setattr(acquire.os, "execv",
+                        lambda exe, argv: calls.update(exe=exe, argv=argv))
+    monkeypatch.setattr(acquire.time, "sleep", lambda s: None)
+    monkeypatch.delenv("ACQ_REEXEC", raising=False)
+    acquire.ensure_device_or_reexec(timeout=0.1, _probe=wedge.wait)
+    assert calls["argv"][1:] == list(acquire.sys.argv)
+    assert os.environ["ACQ_REEXEC"] == "1"
+
+    # budget exhausted -> hard exit, no exec loop
+    monkeypatch.setenv("ACQ_REEXEC", "20")
+    monkeypatch.setattr(acquire.os, "_exit",
+                        lambda code: calls.update(exit=code))
+    calls.pop("argv")
+    acquire.ensure_device_or_reexec(timeout=0.1, max_tries=20,
+                                    _probe=wedge.wait)
+    assert calls["exit"] == 1 and "argv" not in calls
+    wedge.set()  # unblock the two daemon probe threads

@@ -57,40 +57,14 @@ def main():
         import jax
         jax.config.update("jax_debug_nans", True)
 
-    # Device-acquisition watchdog.  The axon TPU tunnel is exclusive and its
-    # release on process exit is asynchronous; a train.py launched right
-    # after the previous stage exits can race the release, and the client
-    # then blocks FOREVER inside backend init (observed: a stage hung 21
-    # minutes on an idle chip; the pipeline's retry launched 5 s after the
-    # kill and hung the same way).  Probe the backend from a daemon thread
-    # with a deadline; on timeout, settle and re-exec this same process so
-    # the retry does not consume a pipeline stage attempt.
-    if os.environ.get("JAX_PLATFORMS", "").strip() != "cpu":
-        import threading
-        ready = threading.Event()
-
-        def _probe():
-            import jax
-            import jax.numpy as jnp
-            jax.block_until_ready(jnp.zeros(()))
-            ready.set()
-
-        threading.Thread(target=_probe, daemon=True).start()
-        if not ready.wait(timeout=120):
-            tries = int(os.environ.get("ACQ_REEXEC", "0"))
-            if tries >= 20:
-                print("device acquisition blocked and re-exec budget "
-                      "exhausted; giving up", flush=True)
-                os._exit(1)
-            print(f"device acquisition blocked >120s (raced the previous "
-                  f"holder's release); settling and re-exec'ing "
-                  f"(attempt {tries + 1}/20)", flush=True)
-            import time
-            time.sleep(30)
-            os.environ["ACQ_REEXEC"] = str(tries + 1)
-            sys.stdout.flush()
-            sys.stderr.flush()
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+    # Device-acquisition watchdog (utils/acquire.py): pipeline stages chain
+    # many processes over one exclusive tunnel; a launch that races the
+    # previous holder's release otherwise blocks forever inside backend
+    # init.  On timeout this re-execs the same argv, so the pipeline's
+    # stage-retry loop never burns an attempt on a wedged acquisition.
+    from handwriting_line_generation_tpu.utils.acquire import (
+        ensure_device_or_reexec)
+    ensure_device_or_reexec()
 
     from handwriting_line_generation_tpu.config import (apply_overrides,
                                                     load_config)
