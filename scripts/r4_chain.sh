@@ -17,8 +17,10 @@ echo "[chain4] IAM pipeline done; quick quality reading" >> saved/pipeline.log
 
 sleep 45   # let the tunnel release (exclusive device acquisition)
 mkdir -p docs/results/r4
+# small early reading: signal AND compile prewarm for the measurement pass
+# (same compiled shapes; n-gen/max_batches only change trip counts)
 timeout 1500 python evaluate.py -c configs/syn_gan3.json -k saved/syn_gan3 \
-    --ckpt-name model_best --quality --n-gen 64 -n 40 \
+    --ckpt-name model_best --quality --n-gen 32 -n 24 \
     --texts saved/syn_text.txt \
     > docs/results/r4/quality_iam3_early.json 2>> saved/pipeline.log \
   && echo "[chain4] early IAM quality -> docs/results/r4/quality_iam3_early.json" \
