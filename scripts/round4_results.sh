@@ -56,13 +56,6 @@ chip() {  # budget_secs, out_file, cmd...
   rm -f "$out.tmp"; echo "[chip] FAILED twice: $*"
 }
 
-echo "== bench (idle chip) =="
-chip 900 $R/bench.json python bench.py
-
-echo "== training MFU: default vs cached-alignment production path =="
-chip 1500 $R/mfu.json python scripts/mfu_report.py
-chip 1500 $R/mfu_cached.json python scripts/mfu_report.py --spaced-cache
-
 run_quality() {  # cfg, run_dir, ckpt, texts, out_json, [render_dir]
   local cfg=$1 run=$2 ckpt=$3 texts=$4 out=$5 render=${6:-}
   [ -f "$run/$ckpt.msgpack" ] || [ -f "$run/$ckpt" ] || \
@@ -82,7 +75,15 @@ run_quality() {  # cfg, run_dir, ckpt, texts, out_json, [render_dir]
   echo "quality $run/$ckpt FAILED twice"
 }
 
+# Quality lands FIRST (VERDICT r3 #1: the quality JSONs are the round's
+# headline artifact); bench and MFU follow.  A small prewarm reading
+# compiles the gen/eval shapes so the three full passes run warm.
 echo "== IAM v3 quality (realism gap + FID + writer-ID) =="
+[ -f saved/syn_gan3/model_best.msgpack ] && \
+  timeout 1800 python evaluate.py -c configs/syn_gan3.json -k saved/syn_gan3 \
+      --ckpt-name model_best --quality --n-gen 32 -n 24 \
+      --texts saved/syn_text.txt > $R/quality_iam3_early.json \
+    && cat $R/quality_iam3_early.json
 run_quality configs/syn_gan3.json saved/syn_gan3 model_best \
     saved/syn_text.txt $R/quality_iam3_best.json docs/samples/r4
 run_quality configs/syn_gan3.json saved/syn_gan3 checkpoint-latest-swa \
@@ -97,6 +98,15 @@ run_quality configs/syn_rimes_gan3.json saved/syn_rimes_gan3 \
     checkpoint-latest-swa saved/syn_rimes_text.txt $R/quality_rimes3_swa.json
 run_quality configs/syn_rimes_gan3.json saved/syn_rimes_gan3 \
     checkpoint-latest saved/syn_rimes_text.txt $R/quality_rimes3_latest.json
+
+echo "== bench (idle chip) =="
+chip 1200 $R/bench.json python bench.py
+
+echo "== training MFU: default vs cached-alignment production path =="
+chip 1500 $R/mfu.json python scripts/mfu_report.py
+# (--spaced-cache synthesizes its alignment via insert_spaces — no npz
+# bank needed)
+chip 1500 $R/mfu_cached.json python scripts/mfu_report.py --spaced-cache
 
 # slow tier: already run THIS round on this host while the chip trained
 # (CPU-only tier) — recorded in docs/results/r4/slow_tier.txt (9 passed,
