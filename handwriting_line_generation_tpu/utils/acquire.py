@@ -48,18 +48,60 @@ def ensure_device_or_reexec(timeout: float = 120.0, max_tries: int = 20,
     if ready.wait(timeout=timeout):
         return True
 
-    tries = int(os.environ.get(_ENV, "0"))
+    _settle_and_reexec(
+        _ENV, max_tries, settle,
+        f"device acquisition blocked >{timeout:.0f}s (raced the previous "
+        f"holder's release)")
+    return False  # unreachable; keeps type checkers honest
+
+
+def _settle_and_reexec(env_key: str, max_tries: int, settle: float,
+                       reason: str) -> None:
+    tries = int(os.environ.get(env_key, "0"))
     if tries >= max_tries:
-        print(f"device acquisition blocked and re-exec budget exhausted "
-              f"({max_tries}); giving up", flush=True)
+        print(f"{reason} and re-exec budget exhausted ({max_tries}); "
+              f"giving up", flush=True)
         os._exit(1)
-        return False  # only reachable with os._exit stubbed (tests)
-    print(f"device acquisition blocked >{timeout:.0f}s (raced the previous "
-          f"holder's release); settling {settle:.0f}s and re-exec'ing "
+        return  # only reachable with os._exit stubbed (tests)
+    print(f"{reason}; settling {settle:.0f}s and re-exec'ing "
           f"(attempt {tries + 1}/{max_tries})", flush=True)
     time.sleep(settle)
-    os.environ[_ENV] = str(tries + 1)
+    os.environ[env_key] = str(tries + 1)
     sys.stdout.flush()
     sys.stderr.flush()
     os.execv(sys.executable, [sys.executable] + sys.argv)
-    return False  # unreachable; keeps type checkers honest
+
+
+_GUARD_ENV = "ACQ_GUARD_REEXEC"
+
+
+def arm_completion_guard(timeout: float = 900.0, max_tries: int = 6,
+                         settle: float = 45.0,
+                         what: str = "first training step",
+                         _reexec=None):
+    """Arm a deadline on reaching a later milestone; returns a disarm fn.
+
+    The acquisition probe above only covers backend init, but the tunnel
+    wedge can also strike a LATER RPC: observed live in round 4, a trainer
+    passed the trivial-op probe, printed its banner, then blocked forever
+    with ``axon-conn-read`` parked in ``tcp_recvmsg`` on the first big
+    compile dispatch.  Callers arm this before the hot loop starts and
+    disarm it from the first progress callback; if the milestone never
+    arrives the process settles and re-execs (soft-resume makes that safe
+    for trainers).  ``_reexec`` is injectable for tests.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return lambda: None
+
+    done = threading.Event()
+
+    def _watch():
+        if done.wait(timeout=timeout):
+            return
+        (_reexec or _settle_and_reexec)(
+            _GUARD_ENV, max_tries, settle,
+            f"{what} did not complete within {timeout:.0f}s "
+            f"(wedged tunnel RPC)")
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done.set

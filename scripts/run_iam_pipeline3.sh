@@ -22,23 +22,16 @@ stage() {  # name, config, attempts
       ok=1; break
     fi
     echo "[iam3] $name attempt $a died; retrying" >> saved/pipeline.log
-    sleep 5
+    sleep 60   # settle: the tunnel release is async; a fast retry races it
   done
   [ "$ok" = 1 ] || { echo "[iam3] $name FAILED" >> saved/pipeline.log; exit 1; }
 }
 
 stage syn_hwr3 configs/syn_hwr3.json 3
 stage syn_auto3 configs/syn_auto3.json 3
-# Frozen reader + no train-time augmentation make every line's forced
-# alignment a constant: precompute the spaced_loc cache once (the
-# reference's precomputed-bank workflow, author_hw_dataset.py:283-290) so
-# the 175k GAN iterations skip the in-step Viterbi scan.
-if [ ! -f saved/syn_spaced3.npz ]; then
-  echo "[iam3] precomputing spaced_loc cache" >> saved/pipeline.log
-  python scripts/precompute_spaced.py configs/syn_gan3.json \
-      saved/syn_spaced3.npz >> saved/syn_gan3.log 2>&1 \
-    || { echo "[iam3] spaced precompute FAILED" >> saved/pipeline.log;
-         exit 1; }
-fi
+# NOTE: the IAM v3 GAN trains with LIVE alignment — the precomputed
+# spaced_loc cache was reverted for this family after the cached run
+# collapsed to blank output (commit f26a2a7; docs/RESULTS.md round-4
+# forensics).  RIMES keeps its round-3-proven cache.
 stage syn_gan3 configs/syn_gan3.json 24
 echo "[iam3] done" >> saved/pipeline.log

@@ -23,7 +23,7 @@ stage() {  # name, config, attempts, [extra train.py args...]
       ok=1; break
     fi
     echo "[rimes3] $name attempt $a died; retrying" >> saved/pipeline.log
-    sleep 5
+    sleep 60   # settle: the tunnel release is async; a fast retry races it
   done
   [ "$ok" = 1 ] || { echo "[rimes3] $name FAILED" >> saved/pipeline.log; exit 1; }
 }

@@ -154,3 +154,40 @@ def test_acquire_watchdog(monkeypatch):
                                     _probe=wedge.wait)
     assert calls["exit"] == 1 and "argv" not in calls
     wedge.set()  # unblock the two daemon probe threads
+
+
+def test_completion_guard(monkeypatch):
+    """First-dispatch guard (utils/acquire.py): the tunnel wedge can strike
+    AFTER acquisition — observed live in round 4, a trainer passed the
+    trivial-op probe then blocked forever on its first big compile RPC.
+    Disarmed in time -> no re-exec; never disarmed -> re-exec fires."""
+    import threading
+
+    from handwriting_line_generation_tpu.utils import acquire
+
+    # pinned to CPU -> no-op disarm fn
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    acquire.arm_completion_guard(timeout=0.0)()
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+    # disarmed before the deadline -> the watcher never re-execs
+    fired = threading.Event()
+    disarm = acquire.arm_completion_guard(
+        timeout=5.0, _reexec=lambda *a: fired.set())
+    disarm()
+    assert not fired.wait(timeout=0.3)
+
+    # milestone never reached -> re-exec path runs with the guard's own
+    # retry counter key
+    hit = {}
+    done = threading.Event()
+
+    def fake_reexec(env_key, max_tries, settle, reason):
+        hit.update(env_key=env_key, reason=reason)
+        done.set()
+
+    acquire.arm_completion_guard(timeout=0.05, _reexec=fake_reexec)
+    assert done.wait(timeout=5.0)
+    assert hit["env_key"] == "ACQ_GUARD_REEXEC"
+    assert "wedged tunnel RPC" in hit["reason"]

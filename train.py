@@ -82,7 +82,18 @@ def main():
     if args.iterations:
         cfg.trainer.iterations = args.iterations
 
+    # The tunnel wedge can also strike AFTER acquisition (first big compile
+    # RPC never answered; axon-conn-read parked in tcp_recvmsg).  Arm a
+    # deadline on the first logged progress; soft-resume makes the re-exec
+    # lose at most save_every iterations.
+    from handwriting_line_generation_tpu.utils.acquire import (
+        arm_completion_guard)
+    guard_state = {"disarm": None}
+
     def log(entry):
+        if guard_state["disarm"] is not None:
+            guard_state["disarm"]()
+            guard_state["disarm"] = None
         print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
                           for k, v in entry.items()}), flush=True)
 
@@ -125,6 +136,7 @@ def main():
         trainer = GanTrainer(cfg)
     print(f"training '{cfg.name}' ({kind}) for "
           f"{cfg.trainer.iterations} iterations", flush=True)
+    guard_state["disarm"] = arm_completion_guard()
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
