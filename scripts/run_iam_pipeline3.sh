@@ -16,6 +16,8 @@ fi
 
 stage() {  # name, config, attempts
   local name=$1 cfg=$2 tries=$3 ok=0
+  sleep 75  # settle: the previous stage's tunnel release is async;
+            # launching into it wedges the remote session
   echo "[iam3] stage $name" >> saved/pipeline.log
   for a in $(seq 1 "$tries"); do
     if python train.py -c "$cfg" -r >> "saved/${name}.log" 2>&1; then
