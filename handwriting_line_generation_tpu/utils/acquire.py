@@ -75,33 +75,88 @@ def _settle_and_reexec(env_key: str, max_tries: int, settle: float,
 _GUARD_ENV = "ACQ_GUARD_REEXEC"
 
 
+class _Guard:
+    """Heartbeat deadline on trainer progress (see :func:`arm_completion_guard`).
+
+    ``beat()`` re-arms the deadline (call it from every progress log);
+    ``disarm()`` stops the watcher for good; calling the guard object is an
+    alias for ``disarm()`` (back-compat with the round-4 one-shot API).
+    """
+
+    def __init__(self, timeout, max_tries, settle, what, _reexec):
+        self._timeout = timeout
+        self._max_tries = max_tries
+        self._settle = settle
+        self._what = what
+        self._reexec = _reexec or _settle_and_reexec
+        self._last = time.monotonic()
+        self._off = threading.Event()
+        threading.Thread(target=self._watch, daemon=True).start()
+
+    def beat(self):
+        self._last = time.monotonic()
+
+    def disarm(self):
+        self._off.set()
+
+    __call__ = disarm
+
+    def _watch(self):
+        poll = max(min(self._timeout / 4.0, 10.0), 0.01)
+        while True:
+            if self._off.wait(timeout=poll):
+                return
+            stamp = self._last
+            if time.monotonic() - stamp < self._timeout:
+                continue
+            # Deadline blown.  Settle first, then RE-CHECK: if the
+            # milestone (or a heartbeat) landed while we slept, the
+            # trainer is healthy and re-exec'ing would discard up to
+            # save_every iterations for nothing.
+            time.sleep(self._settle)
+            if self._off.is_set() or self._last != stamp:
+                continue
+            self._reexec(
+                _GUARD_ENV, self._max_tries, 0.0,
+                f"{self._what} did not complete within "
+                f"{self._timeout:.0f}s (wedged tunnel RPC; settled "
+                f"{self._settle:.0f}s)")
+            return
+
+
+class _NoGuard:
+    """CPU runs have no tunnel to wedge."""
+
+    def beat(self):
+        pass
+
+    def disarm(self):
+        pass
+
+    __call__ = disarm
+
+
 def arm_completion_guard(timeout: float = 900.0, max_tries: int = 6,
                          settle: float = 45.0,
-                         what: str = "first training step",
+                         what: str = "training progress",
                          _reexec=None):
-    """Arm a deadline on reaching a later milestone; returns a disarm fn.
+    """Arm a heartbeat deadline on trainer progress; returns a guard object.
 
     The acquisition probe above only covers backend init, but the tunnel
     wedge can also strike a LATER RPC: observed live in round 4, a trainer
     passed the trivial-op probe, printed its banner, then blocked forever
     with ``axon-conn-read`` parked in ``tcp_recvmsg`` on the first big
-    compile dispatch.  Callers arm this before the hot loop starts and
-    disarm it from the first progress callback; if the milestone never
-    arrives the process settles and re-execs (soft-resume makes that safe
-    for trainers).  ``_reexec`` is injectable for tests.
+    compile dispatch — and a second wedge variant struck processes that had
+    already completed steps (post-22:00:30 forensics, docs/RESULTS.md), so a
+    one-shot "first milestone" guard leaves the whole hot loop uncovered.
+    Callers arm this BEFORE the first jit/compile dispatch and call
+    ``guard.beat()`` from every progress callback: any gap longer than
+    ``timeout`` (compile, step, val, checkpoint, SWA — pick a timeout above
+    all of them) settles, re-checks for late progress, and re-execs the same
+    argv (soft-resume makes that safe for trainers).  ``guard.disarm()``
+    ends coverage when the run completes.  ``_reexec`` is injectable for
+    tests.
     """
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        return lambda: None
-
-    done = threading.Event()
-
-    def _watch():
-        if done.wait(timeout=timeout):
-            return
-        (_reexec or _settle_and_reexec)(
-            _GUARD_ENV, max_tries, settle,
-            f"{what} did not complete within {timeout:.0f}s "
-            f"(wedged tunnel RPC)")
-
-    threading.Thread(target=_watch, daemon=True).start()
-    return done.set
+        return _NoGuard()
+    return _Guard(timeout, max_tries, settle, what, _reexec)

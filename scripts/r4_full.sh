@@ -25,7 +25,8 @@ timeout 1800 python evaluate.py -c configs/syn_gan3.json -k saved/syn_gan3 \
     --texts saved/syn_text.txt \
     > docs/results/r4/quality_iam3_early.json 2>> saved/pipeline.log \
   && echo "[r4full] early IAM quality ok" >> saved/pipeline.log \
-  || echo "[r4full] early IAM quality FAILED" >> saved/pipeline.log
+  || { rm -f docs/results/r4/quality_iam3_early.json; \
+       echo "[r4full] early IAM quality FAILED" >> saved/pipeline.log; }
 
 echo "[r4full] starting RIMES v3 pipeline" >> saved/pipeline.log
 bash scripts/run_rimes_pipeline3.sh

@@ -37,11 +37,25 @@ stage syn_rimes_auto3 configs/syn_rimes_auto3.json 3
 # reference's precomputed-bank workflow, author_hw_dataset.py:283-290) so
 # the 175k GAN iterations skip the in-step Viterbi scan.
 if [ ! -f saved/syn_rimes_spaced3.npz ]; then
+  # settle + timeout + retry (ADVICE r4): this launch sits inside the
+  # previous holder's async release window and is exposed to both wedge
+  # variants; without a timeout a wedged precompute hangs the chain forever
+  sleep 75
   echo "[rimes3] precomputing spaced_loc cache" >> saved/pipeline.log
-  python scripts/precompute_spaced.py configs/syn_rimes_gan3.json \
-      saved/syn_rimes_spaced3.npz >> saved/syn_rimes_gan3.log 2>&1 \
-    || { echo "[rimes3] spaced precompute FAILED" >> saved/pipeline.log;
-         exit 1; }
+  pre_ok=0
+  for a in 1 2 3; do
+    if timeout 2700 python scripts/precompute_spaced.py \
+        configs/syn_rimes_gan3.json \
+        saved/syn_rimes_spaced3.npz >> saved/syn_rimes_gan3.log 2>&1; then
+      pre_ok=1; break
+    fi
+    echo "[rimes3] spaced precompute attempt $a died; retrying" \
+      >> saved/pipeline.log
+    rm -f saved/syn_rimes_spaced3.npz
+    sleep 75
+  done
+  [ "$pre_ok" = 1 ] || { echo "[rimes3] spaced precompute FAILED" \
+      >> saved/pipeline.log; exit 1; }
 fi
 # Adaptive GAN budget (round 4): the fresh VM wiped every round-3
 # checkpoint, forcing full retrains of BOTH charset families in one round;

@@ -157,21 +157,25 @@ def test_acquire_watchdog(monkeypatch):
 
 
 def test_completion_guard(monkeypatch):
-    """First-dispatch guard (utils/acquire.py): the tunnel wedge can strike
-    AFTER acquisition — observed live in round 4, a trainer passed the
-    trivial-op probe then blocked forever on its first big compile RPC.
-    Disarmed in time -> no re-exec; never disarmed -> re-exec fires."""
+    """Heartbeat guard (utils/acquire.py): the tunnel wedge can strike any
+    dispatch after acquisition — the first big compile RPC, or (round-4
+    forensics) a later step in a process that had already made progress.
+    Every log entry beats the guard; a gap longer than the timeout settles,
+    re-checks for late progress, and re-execs."""
     import threading
+    import time
 
     from handwriting_line_generation_tpu.utils import acquire
 
-    # pinned to CPU -> no-op disarm fn
+    # pinned to CPU -> no-op guard (both APIs)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
-    acquire.arm_completion_guard(timeout=0.0)()
+    g = acquire.arm_completion_guard(timeout=0.0)
+    g.beat(), g.disarm(), g()
 
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
 
-    # disarmed before the deadline -> the watcher never re-execs
+    # disarmed before the deadline -> the watcher never re-execs (legacy
+    # callable-disarm form still works)
     fired = threading.Event()
     disarm = acquire.arm_completion_guard(
         timeout=5.0, _reexec=lambda *a: fired.set())
@@ -179,7 +183,7 @@ def test_completion_guard(monkeypatch):
     assert not fired.wait(timeout=0.3)
 
     # milestone never reached -> re-exec path runs with the guard's own
-    # retry counter key
+    # retry counter key, after the settle re-check
     hit = {}
     done = threading.Event()
 
@@ -187,7 +191,34 @@ def test_completion_guard(monkeypatch):
         hit.update(env_key=env_key, reason=reason)
         done.set()
 
-    acquire.arm_completion_guard(timeout=0.05, _reexec=fake_reexec)
+    acquire.arm_completion_guard(timeout=0.05, settle=0.01,
+                                 _reexec=fake_reexec)
     assert done.wait(timeout=5.0)
     assert hit["env_key"] == "ACQ_GUARD_REEXEC"
     assert "wedged tunnel RPC" in hit["reason"]
+
+    # heartbeats keep a healthy-but-long run alive across many deadline
+    # windows (the round-4 one-shot guard had no coverage here)...
+    refired = threading.Event()
+    g = acquire.arm_completion_guard(timeout=0.6, settle=0.01,
+                                     _reexec=lambda *a: refired.set())
+    for _ in range(8):
+        time.sleep(0.05)
+        g.beat()
+    assert not refired.is_set()
+    # ...and a stall AFTER real progress still trips the guard
+    assert refired.wait(timeout=10.0)
+
+    # ADVICE r4: progress landing during the settle window aborts the
+    # re-exec instead of discarding up to save_every iterations.
+    # Timeline: deadline blows ~0.2s -> watcher settles 1.0s (ends ~1.3s);
+    # the beat at ~0.5s makes the post-settle re-check continue instead of
+    # exec; the next legitimate fire cannot land before 0.5+0.2+1.0=1.7s,
+    # so "no fire by 1.45s" isolates the aborted one.
+    aborted_fire = threading.Event()
+    g2 = acquire.arm_completion_guard(timeout=0.2, settle=1.0,
+                                      _reexec=lambda *a: aborted_fire.set())
+    time.sleep(0.5)    # let the deadline blow -> watcher enters settle
+    g2.beat()          # late progress arrives mid-settle
+    assert not aborted_fire.wait(timeout=0.95)
+    g2.disarm()

@@ -82,18 +82,18 @@ def main():
     if args.iterations:
         cfg.trainer.iterations = args.iterations
 
-    # The tunnel wedge can also strike AFTER acquisition (first big compile
-    # RPC never answered; axon-conn-read parked in tcp_recvmsg).  Arm a
-    # deadline on the first logged progress; soft-resume makes the re-exec
-    # lose at most save_every iterations.
+    # The tunnel wedge can also strike AFTER acquisition — on the first big
+    # compile RPC (axon-conn-read parked in tcp_recvmsg) or on any LATER
+    # dispatch mid-run (round-4 forensics: processes with completed steps
+    # hung at 22:00:30).  Heartbeat guard: every log entry re-arms the
+    # deadline; a wedge anywhere in the hot loop settles and re-execs
+    # (soft-resume loses at most save_every iterations).
     from handwriting_line_generation_tpu.utils.acquire import (
         arm_completion_guard)
-    guard_state = {"disarm": None}
+    guard = arm_completion_guard()
 
     def log(entry):
-        if guard_state["disarm"] is not None:
-            guard_state["disarm"]()
-            guard_state["disarm"] = None
+        guard.beat()
         print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
                           for k, v in entry.items()}), flush=True)
 
@@ -136,7 +136,6 @@ def main():
         trainer = GanTrainer(cfg)
     print(f"training '{cfg.name}' ({kind}) for "
           f"{cfg.trainer.iterations} iterations", flush=True)
-    guard_state["disarm"] = arm_completion_guard()
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
@@ -146,6 +145,7 @@ def main():
     else:
         trainer.train(on_log=log, mesh=mesh, resume=args.resume,
                       fsdp=args.fsdp > 1)
+    guard.disarm()  # run complete; finalization already beat via val logs
 
 
 if __name__ == "__main__":
