@@ -83,8 +83,16 @@ class _Guard:
     alias for ``disarm()`` (back-compat with the round-4 one-shot API).
     """
 
-    def __init__(self, timeout, max_tries, settle, what, _reexec):
+    def __init__(self, timeout, max_tries, settle, what, _reexec,
+                 first_timeout=None):
         self._timeout = timeout
+        # the FIRST milestone sits behind the cold-compile window (several
+        # multi-minute lesson compiles before iteration `log_step`); give it
+        # its own, longer deadline so a cold start is not mistaken for a
+        # wedge (observed live round 5: a healthy 175k GAN launch was
+        # re-exec'd at 900 s mid-compile)
+        self._first_timeout = first_timeout or timeout
+        self._beaten = False
         self._max_tries = max_tries
         self._settle = settle
         self._what = what
@@ -94,6 +102,7 @@ class _Guard:
         threading.Thread(target=self._watch, daemon=True).start()
 
     def beat(self):
+        self._beaten = True
         self._last = time.monotonic()
 
     def disarm(self):
@@ -107,7 +116,8 @@ class _Guard:
             if self._off.wait(timeout=poll):
                 return
             stamp = self._last
-            if time.monotonic() - stamp < self._timeout:
+            limit = self._timeout if self._beaten else self._first_timeout
+            if time.monotonic() - stamp < limit:
                 continue
             # Deadline blown.  Settle first, then RE-CHECK: if the
             # milestone (or a heartbeat) landed while we slept, the
@@ -139,6 +149,7 @@ class _NoGuard:
 def arm_completion_guard(timeout: float = 900.0, max_tries: int = 6,
                          settle: float = 45.0,
                          what: str = "training progress",
+                         first_timeout: float = None,
                          _reexec=None):
     """Arm a heartbeat deadline on trainer progress; returns a guard object.
 
@@ -159,4 +170,5 @@ def arm_completion_guard(timeout: float = 900.0, max_tries: int = 6,
     """
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         return _NoGuard()
-    return _Guard(timeout, max_tries, settle, what, _reexec)
+    return _Guard(timeout, max_tries, settle, what, _reexec,
+                  first_timeout=first_timeout)

@@ -34,7 +34,14 @@ import os
 import sys
 import tempfile
 
+# Force-override BOTH ways (tests/conftest.py pattern): the environment
+# pre-sets JAX_PLATFORMS=axon and the axon plugin can win platform
+# selection over the env var alone.  This experiment must NEVER touch the
+# exclusive TPU tunnel — it runs beside a live chip trainer.
 os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -68,7 +75,7 @@ def stage1_tensor_identity(cfg, cache_path: str, k_batches: int = 8):
     from handwriting_line_generation_tpu.ops.align import viterbi_align
     from handwriting_line_generation_tpu.ops.augment import (
         dequantize_image, quantize_image_u8)
-    from handwriting_line_generation_tpu.ops.masks import mask_frames_to_blank
+    from handwriting_line_generation_tpu.ops.ctc import mask_frames_to_blank
     from handwriting_line_generation_tpu.training.gan_trainer import GanTrainer
 
     ccfg = copy.deepcopy(cfg)

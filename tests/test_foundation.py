@@ -209,6 +209,17 @@ def test_completion_guard(monkeypatch):
     # ...and a stall AFTER real progress still trips the guard
     assert refired.wait(timeout=10.0)
 
+    # the first milestone (cold-compile window) gets its own longer
+    # deadline: no fire inside first_timeout even with zero beats, but the
+    # tight steady-state timeout takes over after the first beat
+    first = threading.Event()
+    g1 = acquire.arm_completion_guard(timeout=0.1, first_timeout=1.2,
+                                      settle=0.01,
+                                      _reexec=lambda *a: first.set())
+    assert not first.wait(timeout=0.6)   # 6x past `timeout`, still compiling
+    g1.beat()                            # first step logged
+    assert first.wait(timeout=5.0)       # now the 0.1s heartbeat applies
+
     # ADVICE r4: progress landing during the settle window aborts the
     # re-exec instead of discarding up to save_every iterations.
     # Timeline: deadline blows ~0.2s -> watcher settles 1.0s (ends ~1.3s);

@@ -756,3 +756,87 @@ def test_style_loc_cache_drives_disc_training(tmp_path):
     tr3.state = tr3.init_state(next(it3))
     with pytest.raises(ValueError, match="use_style_cache"):
         tr3.run_lesson(["disc"], it3)
+
+
+@pytest.mark.slow
+def test_spaced_cache_equals_live_alignment(tmp_path):
+    """Cache-vs-live equivalence (VERDICT r4 #2, test-scale twin of
+    scripts/spaced_equivalence.py): round 4's cached-alignment IAM GAN
+    collapsed while the live recipe converged, so "the cache is
+    semantically identical" must be PROVEN, not asserted.  (a) every cached
+    row equals the in-step live ``viterbi_align`` tensor bit-for-bit;
+    (b) a same-seed multi-cycle training run produces matching per-lesson
+    loss trajectories with the cache on and off (reference workflow:
+    author_hw_dataset.py:283-290)."""
+    import os
+
+    from handwriting_line_generation_tpu.data.datasets import get_charset
+    from handwriting_line_generation_tpu.inference.eval import Evaluator
+    from handwriting_line_generation_tpu.ops.align import viterbi_align
+    from handwriting_line_generation_tpu.ops.augment import dequantize_image
+    from handwriting_line_generation_tpu.ops.ctc import (
+        mask_frames_to_blank)
+
+    def build(spaced_loc):
+        cfg = _tiny_gan_cfg()
+        cfg.data.synthetic_authors = 3
+        cfg.data.synthetic_lines = 4
+        cfg.data.spaced_loc = spaced_loc
+        return cfg
+
+    # precompute the cache from the init state (the production flow:
+    # scripts/precompute_spaced.py drives the evaluator's save_spaced)
+    cfg = build(None)
+    tr = GanTrainer(cfg)
+    it = forever(make_batcher(cfg.data, "train"), seed=0)
+    tr.state = tr.init_state(next(it))
+    ev = Evaluator(tr.model, tr.state.params, get_charset(cfg.data))
+    ev.run(make_batcher(cfg.data, "train"), max_batches=10 ** 9,
+           out_dir=str(tmp_path), save_spaced=True)
+    cache = os.path.join(str(tmp_path), "spaced.npz")
+
+    # (a) tensor identity: cached rows vs the exact in-step computation
+    # (dequantize -> recognize -> width-mask -> viterbi, gan_trainer.py
+    # step_count)
+    ccfg = build(cache)
+    cit = forever(make_batcher(ccfg.data, "train"), seed=0)
+
+    @jax.jit
+    def live_align(params, image, width, label, lens):
+        T = image.shape[2] // 4
+        frames = jnp.clip(jnp.ceil(width / 4.0).astype(jnp.int32), 1, T)
+        pred = tr.model.apply({"params": params}, image, method="recognize")
+        pred = mask_frames_to_blank(pred, frames)
+        return viterbi_align(pred, label, lens)
+
+    for _ in range(4):
+        b = next(cit)
+        assert "spaced_label" in b
+        img = dequantize_image(jnp.asarray(b["image"]),
+                               jnp.asarray(b["width"]))
+        live = np.asarray(live_align(
+            tr.state.params, img, jnp.asarray(b["width"]),
+            jnp.asarray(b["label"]), jnp.asarray(b["label_lengths"])))
+        np.testing.assert_array_equal(np.asarray(b["spaced_label"]), live)
+
+    # (b) trajectory equality: two identical-seed runs, cache off vs on
+    def run_arm(spaced_loc, n=14):
+        acfg = build(spaced_loc)
+        atr = GanTrainer(acfg)
+        ait = forever(make_batcher(acfg.data, "train"), seed=0)
+        atr.state = atr.init_state(next(ait), seed=0)
+        outs = []
+        for i in range(n):
+            out = atr.run_lesson(atr.curriculum.get_lesson(i), ait,
+                                 iteration=i)
+            outs.append({k: float(v) for k, v in out.items()})
+        return outs
+
+    live_t = run_arm(None)
+    cached_t = run_arm(cache)
+    for i, (a, b) in enumerate(zip(live_t, cached_t)):
+        assert set(a) == set(b), (i, a, b)
+        for k in a:
+            np.testing.assert_allclose(
+                a[k], b[k], rtol=2e-2, atol=1e-5,
+                err_msg=f"lesson {i} key {k}: live {a[k]} vs cached {b[k]}")

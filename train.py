@@ -90,7 +90,12 @@ def main():
     # (soft-resume loses at most save_every iterations).
     from handwriting_line_generation_tpu.utils.acquire import (
         arm_completion_guard)
-    guard = arm_completion_guard()
+    # first_timeout: the first logged step sits behind the cold-compile
+    # window (several multi-minute lesson compiles on a fresh .jax_cache);
+    # 900 s fired on a HEALTHY cold GAN launch (observed round 5), so the
+    # first milestone gets 40 min while steady-state keeps the tight
+    # heartbeat.
+    guard = arm_completion_guard(first_timeout=2400.0)
 
     def log(entry):
         guard.beat()
