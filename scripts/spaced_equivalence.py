@@ -71,10 +71,9 @@ def stage1_tensor_identity(cfg, cache_path: str, k_batches: int = 8):
     import numpy as np
 
     from handwriting_line_generation_tpu.data.datasets import (
-        forever, make_batcher)
+        forever, make_batcher, quantize_image_u8)
     from handwriting_line_generation_tpu.ops.align import viterbi_align
-    from handwriting_line_generation_tpu.ops.augment import (
-        dequantize_image, quantize_image_u8)
+    from handwriting_line_generation_tpu.ops.augment import dequantize_image
     from handwriting_line_generation_tpu.ops.ctc import mask_frames_to_blank
     from handwriting_line_generation_tpu.training.gan_trainer import GanTrainer
 
@@ -135,24 +134,37 @@ def run_arm(cfg, name: str):
 def main(base="configs/syn_gan3.json", iters=140):
     import numpy as np
     iters = int(iters)
-    work = tempfile.mkdtemp(prefix="spaced_eq_")
+    # SPACED_EQ_RESUME=<workdir>: reuse a prior invocation's arm-A
+    # trajectory (live/syn_gan3/train_log.json, written by train()'s
+    # finally) and cache npz instead of re-burning ~70 CPU-minutes.
+    resume = os.environ.get("SPACED_EQ_RESUME")
+    work = resume or tempfile.mkdtemp(prefix="spaced_eq_")
     cfg = small_cfg(base, os.path.join(work, "live"), iters)
     cfg.data.spaced_loc = None
-
-    # ---- stage 2 arm A: live alignment -------------------------------
-    print(f"== arm A: live alignment, {iters} iters (CPU) ==", flush=True)
-    live_log = run_arm(copy.deepcopy(cfg), "live")
-
-    # ---- precompute the cache (the production script, same code path) --
-    print("== precompute spaced cache ==", flush=True)
-    cfg_path = os.path.join(work, "cfg_small.json")
     cache = os.path.join(work, "spaced.npz")
-    with open(cfg_path, "w") as f:
-        json.dump(cfg.to_dict(), f)
-    import importlib
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    pre = importlib.import_module("precompute_spaced")
-    pre.main(cfg_path, cache)
+
+    if resume:
+        with open(os.path.join(work, "live", cfg.name,
+                               "train_log.json")) as f:
+            live_log = [e for e in json.load(f) if "iteration" in e]
+        print(f"== arm A: resumed {len(live_log)} entries from {work} ==",
+              flush=True)
+        assert os.path.exists(cache), "resume workdir has no spaced.npz"
+    else:
+        # ---- stage 2 arm A: live alignment ---------------------------
+        print(f"== arm A: live alignment, {iters} iters (CPU) ==",
+              flush=True)
+        live_log = run_arm(copy.deepcopy(cfg), "live")
+
+        # ---- precompute the cache (the production script) ------------
+        print("== precompute spaced cache ==", flush=True)
+        cfg_path = os.path.join(work, "cfg_small.json")
+        with open(cfg_path, "w") as f:
+            json.dump(cfg.to_dict(), f)
+        import importlib
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        pre = importlib.import_module("precompute_spaced")
+        pre.main(cfg_path, cache)
 
     # ---- stage 1: tensor-level identity ------------------------------
     print("== stage 1: cached rows vs in-step live viterbi ==", flush=True)
