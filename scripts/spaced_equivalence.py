@@ -181,7 +181,10 @@ def main(base="configs/syn_gan3.json", iters=140):
 
     # ---- diff the trajectories ---------------------------------------
     keys = sorted({k for e in live_log for k in e} &
-                  {k for e in cached_log for k in e} - {"iteration"})
+                  {k for e in cached_log for k in e}
+                  - {"iteration", "sec_per_iter"})  # wall-clock keys are
+    # run-local noise, not semantics — comparing them falsely fails the
+    # equality verdict
     print("== stage 2: per-iteration loss deltas ==")
     report = {"iters": iters, "stage1": t, "keys": {}}
     for k in keys:
