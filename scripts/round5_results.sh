@@ -42,8 +42,12 @@ run_quality() {  # cfg, run_dir, ckpt, texts, out_json, [render_dir]
   local cfg=$1 run=$2 ckpt=$3 texts=$4 out=$5 render=${6:-}
   [ -f "$run/$ckpt.msgpack" ] || { echo "skip $run/$ckpt (missing)"; return 0; }
   for attempt in 1 2; do
-    if timeout 1800 python evaluate.py -c "$cfg" -k "$run" \
-        --ckpt-name "$ckpt" --quality --n-gen 200 --texts "$texts" \
+    # -n 150: the full valid sweep (1200 batches) blows the timeout; 150
+    # batches = 600 lines of style/FID statistics, plenty for stable
+    # metrics (observed live round 5: max_batches=None ran >13 min with no
+    # end in sight)
+    if timeout 1500 python evaluate.py -c "$cfg" -k "$run" \
+        --ckpt-name "$ckpt" --quality --n-gen 200 -n 150 --texts "$texts" \
         ${render:+-o "$render"} > "$out.tmp" 2>>saved/results5.log; then
       mv "$out.tmp" "$out"
       echo "quality -> $out"; cat "$out"
